@@ -1,0 +1,143 @@
+"""Model / inference configuration for Kiri-TPU.
+
+Hyperparameter surface mirrors the reference CFG dataclass
+(reference: kiri_ocr/model.py:24-69) so checkpoints and configs are
+interchangeable, but the object is a frozen-by-convention pytree-friendly
+dataclass designed to be closed over by jitted functions (all fields are
+static Python scalars, never traced).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+
+@dataclass(frozen=True)
+class CFG:
+    """Frozen (hashable) so jitted functions can take it as a static argument;
+    use ``cfg.replace(...)`` to derive variants."""
+
+    # --- Model architecture ---
+    IMG_H: int = 48
+    IMG_W: int = 640
+    MAX_DEC_LEN: int = 512
+    UNK_TOKEN: str = "<unk>"
+    COLLAPSE_WHITESPACE: bool = True
+    UNICODE_NFC: bool = True
+
+    ENC_DIM: int = 256
+    ENC_LAYERS: int = 4
+    ENC_HEADS: int = 8
+    ENC_FF: int = 1024
+    DROPOUT: float = 0.15
+
+    USE_DECODER: bool = True
+    DEC_DIM: int = 256
+    DEC_LAYERS: int = 3
+    DEC_HEADS: int = 8
+    DEC_FF: int = 1024
+
+    USE_CTC: bool = True
+    USE_LM: bool = True
+    USE_LM_FUSION_EVAL: bool = True
+    LM_FUSION_ALPHA: float = 0.35
+    # On TPU the fast path is bfloat16 (MXU-native), not fp16.
+    USE_FP16: bool = True
+    USE_AUTOCAST: bool = True
+
+    # --- Inference params ---
+    CTC_FUSION_ALPHA: float = 0.5
+    BEAM: int = 3
+    BEAM_LENP: float = 0.8
+
+    EOS_LOGP_BIAS: float = 0.0
+    EOS_LOGP_BOOST: float = 0.0
+    EOS_BIAS_UNTIL_LEN: int = 2
+
+    REPEAT_LAST_PENALTY: float = 3.0
+    REPEAT_BIGRAM_PENALTY: float = 2.5
+    REPEAT_TRIGRAM_PENALTY: float = 2.0
+    UNK_LOGP_PENALTY: float = 10.0
+
+    DEC_MAX_LEN_RATIO: float = 1.3
+    DEC_MAX_LEN_PAD: int = 10
+    MEM_MAX_LEN_RATIO: float = 1.0
+
+    # --- TPU-specific knobs (no reference equivalent) ---
+    # Compute dtype for the jitted forward paths ("bfloat16" or "float32").
+    COMPUTE_DTYPE: str = "bfloat16"
+    # Batch-size buckets used by the batched recognizer so XLA compiles a
+    # small, fixed set of program shapes (see pipeline.py).
+    BATCH_BUCKETS: tuple = (1, 2, 4, 8, 16, 32, 64, 128)
+    # Decode-step buckets: AR decoding compiles one while_loop program per
+    # step bucket instead of per data-dependent max_steps.
+    STEP_BUCKETS: tuple = (32, 64, 128, 256, 512)
+
+    def replace(self, **kw) -> "CFG":
+        return dataclasses.replace(self, **kw)
+
+    # -- (de)serialization ---------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["BATCH_BUCKETS"] = list(self.BATCH_BUCKETS)
+        d["STEP_BUCKETS"] = list(self.STEP_BUCKETS)
+        return d
+
+    @classmethod
+    def from_dict(cls, data: Optional[Dict[str, Any]]) -> "CFG":
+        """Build a CFG from a (possibly partial / reference-produced) dict.
+
+        Unknown keys are ignored so reference `_meta.json` checkpoint configs
+        (reference: kiri_ocr/training.py:1018-1037) load unchanged.
+        """
+        cfg = cls()
+        if not data:
+            return cfg
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in data.items():
+            if k in fields:
+                if k in ("BATCH_BUCKETS", "STEP_BUCKETS"):
+                    v = tuple(v)
+                kw[k] = v
+        return dataclasses.replace(cfg, **kw)
+
+    def save_json(self, path) -> None:
+        Path(path).write_text(json.dumps(self.to_dict(), indent=2))
+
+    @classmethod
+    def load_json(cls, path) -> "CFG":
+        return cls.from_dict(json.loads(Path(path).read_text()))
+
+
+def merge_config(defaults: Dict[str, Any], file_cfg: Optional[Dict[str, Any]],
+                 overrides: Dict[str, Any]) -> Dict[str, Any]:
+    """Three-layer config merge: defaults < config file < explicit flags.
+
+    Mirrors the reference CLI semantics (reference: kiri_ocr/cli.py:225-259):
+    a value from the config file replaces the default; an explicitly-passed
+    flag (non-None) replaces both.
+    """
+    merged = dict(defaults)
+    if file_cfg:
+        for k, v in file_cfg.items():
+            if k in merged:
+                merged[k] = v
+    for k, v in overrides.items():
+        if v is not None:
+            merged[k] = v
+    return merged
+
+
+def load_config_file(path) -> Dict[str, Any]:
+    """Load a YAML or JSON config file (reference: kiri_ocr/cli.py:9-27)."""
+    p = Path(path)
+    text = p.read_text()
+    if p.suffix.lower() in (".yaml", ".yml"):
+        import yaml
+
+        return yaml.safe_load(text) or {}
+    return json.loads(text)

@@ -1,0 +1,238 @@
+"""Unified text-detection facade.
+
+Routing / fallback semantics mirror the reference ``TextDetector``
+(reference: kiri_ocr/detector/__init__.py:28-397): method 'db' | 'craft' |
+'legacy', with any backend failure falling back to the classic-CV detector;
+polygon outputs are converted to ``TextBox`` rows, sorted in reading order,
+and optionally merged.
+"""
+from __future__ import annotations
+
+import os
+import warnings
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .base import DetectionLevel, TextBox
+from .legacy import ImageProcessingTextDetector
+
+try:
+    from .db import DBDetector
+except Exception:  # pragma: no cover
+    DBDetector = None
+
+try:
+    from .craft import CRAFTDetector
+except Exception:  # pragma: no cover
+    CRAFTDetector = None
+
+
+class TextDetector:
+    """Unified detector facade with db / craft / legacy backends."""
+
+    def __init__(self, method: str = "db", model_path: Optional[str] = None, **kwargs):
+        self.conf_threshold = kwargs.pop("conf_threshold", 0.25)
+        self.method = method
+        self.kwargs = kwargs
+        self.craft_detector = None
+        self.db_detector = None
+
+        if model_path is None and self.method in ("db", "craft"):
+            model_path = self._find_default_model()
+        self.model_path = model_path
+
+        if self.method == "craft":
+            if CRAFTDetector is None:
+                warnings.warn("CRAFT detector not available. Falling back to legacy.")
+                self.method = "legacy"
+            else:
+                try:
+                    self.craft_detector = CRAFTDetector(model_path=self.model_path)
+                except Exception as e:
+                    print(f"Error loading CRAFT detector: {e}. Falling back to legacy.")
+                    self.method = "legacy"
+        elif self.method == "db":
+            if DBDetector is None:
+                warnings.warn("DB detector not available. Falling back to legacy.")
+                self.method = "legacy"
+            else:
+                try:
+                    if self.model_path and os.path.exists(self.model_path):
+                        db_keys = ["det_db_thresh", "det_db_box_thresh",
+                                   "det_db_unclip_ratio", "max_side_len", "min_size",
+                                   "binary_threshold", "polygon_threshold",
+                                   "unclip_ratio", "max_candidates", "padding_pct",
+                                   "padding_px", "padding_y_pct", "padding_y_px",
+                                   "line_tolerance_ratio", "debug"]
+                        db_kwargs = {k: v for k, v in self.kwargs.items() if k in db_keys}
+                        self.db_detector = DBDetector(self.model_path, **db_kwargs)
+                    else:
+                        print(f"Warning: DB model path not found: {self.model_path}")
+                        self.method = "legacy"
+                except Exception as e:
+                    print(f"Error loading DB detector: {e}. Falling back to legacy.")
+                    self.method = "legacy"
+
+        self.legacy_detector = ImageProcessingTextDetector(**kwargs)
+
+    def _find_default_model(self) -> Optional[str]:
+        names = {
+            "db": ["models/detector.safetensors", "detector.safetensors",
+                   os.path.join(os.path.dirname(__file__), "detector.safetensors")],
+            "craft": ["models/craft.safetensors", "craft.safetensors",
+                      os.path.join(os.path.dirname(__file__), "craft.safetensors")],
+        }[self.method]
+        for p in names:
+            if os.path.exists(p):
+                return p
+        return None
+
+    # --------------------------------------------------------------- lines
+    def detect_lines(self, image) -> List[Tuple[int, int, int, int]]:
+        return [b.bbox for b in self.detect_lines_objects(image)]
+
+    def detect_lines_objects(self, image) -> List[TextBox]:
+        if self.method == "craft" and self.craft_detector:
+            try:
+                detected = self.craft_detector.detect_text(image)
+                return self._process_boxes_objects(detected, merge=True)
+            except Exception as e:
+                print(f"CRAFT detection failed: {e}. Falling back to legacy.")
+                return self._wrap_legacy(self.legacy_detector.detect_lines(image))
+        if self.method == "db" and self.db_detector:
+            try:
+                detected = self.db_detector.detect_text(image)
+                # DB results arrive pre-sorted in reading order.
+                return self._process_boxes_objects(detected, merge=False, skip_sort=True)
+            except Exception as e:
+                print(f"DB detection failed: {e}. Falling back to legacy.")
+                return self._wrap_legacy(self.legacy_detector.detect_lines(image))
+        return self._wrap_legacy(self.legacy_detector.detect_lines(image))
+
+    def _wrap_legacy(self, bboxes) -> List[TextBox]:
+        return [TextBox(x, y, w, h, confidence=1.0, level=DetectionLevel.LINE)
+                for (x, y, w, h) in bboxes]
+
+    def _process_boxes_objects(self, detected_boxes, merge=True,
+                               skip_sort=False) -> List[TextBox]:
+        boxes = []
+        padding = self.kwargs.get("padding", 0)
+        for item in detected_boxes:
+            if isinstance(item, tuple) and len(item) == 2:
+                box, confidence = item
+            else:
+                box, confidence = item, 1.0
+            if hasattr(box, "shape") and getattr(box, "shape", None) == (4, 2):
+                x1, y1 = box[:, 0].min(), box[:, 1].min()
+                x2, y2 = box[:, 0].max(), box[:, 1].max()
+            else:
+                x1, y1, x2, y2 = box
+            w, h = x2 - x1, y2 - y1
+            if padding:
+                x1 = max(0, x1 - padding)
+                y1 = max(0, y1 - padding)
+                w += 2 * padding
+                h += 2 * padding
+            boxes.append(TextBox(int(x1), int(y1), int(w), int(h),
+                                 confidence=float(confidence),
+                                 level=DetectionLevel.LINE))
+        if not skip_sort:
+            boxes = self._sort_reading_order(boxes)
+        if merge:
+            boxes = self._merge_overlapping_boxes(boxes)
+        return boxes
+
+    def _sort_reading_order(self, boxes: List[TextBox]) -> List[TextBox]:
+        """Median-height line grouping sort (reference: detector/__init__.py:245-291)."""
+        if not boxes:
+            return []
+        get_cy = lambda b: b.y + b.height / 2
+        get_cx = lambda b: b.x + b.width / 2
+        boxes = sorted(boxes, key=get_cy)
+        heights = [b.height for b in boxes]
+        median_h = float(np.median(heights)) if heights else 20.0
+        y_tol = median_h * 0.7
+        lines, current = [], [boxes[0]]
+        for b in boxes[1:]:
+            avg_cy = float(np.mean([get_cy(lb) for lb in current]))
+            if abs(get_cy(b) - avg_cy) < y_tol:
+                current.append(b)
+            else:
+                lines.append(current)
+                current = [b]
+        lines.append(current)
+        out = []
+        for line in lines:
+            out.extend(sorted(line, key=get_cx))
+        return out
+
+    def _merge_overlapping_boxes(self, boxes: List[TextBox],
+                                 iou_threshold: float = 0.3) -> List[TextBox]:
+        """Merge vertically-overlapping boxes (reference: detector/__init__.py:331-367)."""
+        if not boxes:
+            return []
+        boxes = sorted(boxes, key=lambda b: b.y)
+        merged, current = [], boxes[0]
+        for nxt in boxes[1:]:
+            y1c, y2c = current.y, current.y + current.height
+            y1n, y2n = nxt.y, nxt.y + nxt.height
+            overlap = max(0, min(y2c, y2n) - max(y1c, y1n))
+            min_h = min(current.height, nxt.height)
+            if min_h > 0 and overlap / min_h > iou_threshold:
+                x1 = min(current.x, nxt.x)
+                y1 = min(current.y, nxt.y)
+                x2 = max(current.x + current.width, nxt.x + nxt.width)
+                y2 = max(current.y + current.height, nxt.y + nxt.height)
+                conf = (current.confidence + nxt.confidence) / 2
+                current = TextBox(x1, y1, x2 - x1, y2 - y1, confidence=conf,
+                                  level=current.level)
+            else:
+                merged.append(current)
+                current = nxt
+        merged.append(current)
+        return merged
+
+    # ------------------------------------------------------- other levels
+    def detect_words(self, image):
+        return self.legacy_detector.detect_words(image)
+
+    def detect_blocks(self, image):
+        if (self.method in ("craft", "db")
+                and (self.craft_detector or self.db_detector)):
+            lines_bbox = self.detect_lines(image)
+            lines = [TextBox(x, y, w, h, level=DetectionLevel.LINE)
+                     for (x, y, w, h) in lines_bbox]
+            img = self.legacy_detector._load_image(image)
+            if img is None:
+                return []
+            h, w = img.shape[:2]
+            blocks = self.legacy_detector._group_lines_into_blocks(lines, w, h)
+            return [b.bbox for b in blocks]
+        return self.legacy_detector.detect_blocks(image)
+
+    def detect_characters(self, image):
+        return self.legacy_detector.detect_characters(image)
+
+    def detect_all(self, image) -> List[TextBox]:
+        return self.legacy_detector.detect_all(image)
+
+    def is_multiline(self, image, threshold: int = 2) -> bool:
+        return len(self.detect_lines(image)) >= threshold
+
+    def get_debug_images(self) -> Dict[str, np.ndarray]:
+        return self.legacy_detector.get_debug_images()
+
+
+# ---------------------------------------------------------------------------
+def detect_text_lines(image, **kwargs):
+    return TextDetector(**kwargs).detect_lines(image)
+
+
+def detect_text_words(image, **kwargs):
+    return TextDetector(**kwargs).detect_words(image)
+
+
+def detect_text_blocks(image, **kwargs):
+    return TextDetector(**kwargs).detect_blocks(image)

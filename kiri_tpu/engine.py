@@ -1,0 +1,213 @@
+"""RecognizerEngine: host-side orchestration of the jitted recognition programs.
+
+This is the TPU replacement for the reference's per-region eager dispatch
+(reference: kiri_ocr/core.py:530-575). All N detected lines of a page are
+recognized in a handful of compiled calls:
+
+    uint8 [N, H, W] -> pad to batch bucket -> encode + CTC (one program)
+                    -> (fast path: done on host)
+                    -> beam/greedy while_loop program bucketed by decode steps
+
+Program cache: one compiled executable per (batch_bucket, step_bucket, mode);
+with the default buckets that is a small, bounded set reused forever.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Generator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CFG
+from .models import recognizer as R
+from .ops import decode as D
+from .ops.ctc import greedy_ctc_stats
+from .tokenizer import CharTokenizer
+
+
+class RecognizerEngine:
+    def __init__(self, variables, cfg: CFG, tok: CharTokenizer):
+        self.variables = variables
+        self.cfg = cfg
+        self.tok = tok
+        self._encode_jit = jax.jit(partial(self._encode_impl, cfg=cfg))
+
+    # ------------------------------------------------------------- internals
+    def _encode_impl(self, variables, imgs_u8, *, cfg):
+        mem, _ = R.encode(variables, imgs_u8, cfg, train=False)
+        ctc = R.ctc_logits(variables["params"], mem, cfg) if cfg.USE_CTC else None
+        memp = R.mem_project(variables["params"], mem)
+        if ctc is not None:
+            ids, conf, est = greedy_ctc_stats(ctc)
+        else:
+            n = imgs_u8.shape[0]
+            ids = jnp.zeros((n, memp.shape[1]), jnp.int32)
+            conf = jnp.zeros((n,))
+            est = jnp.zeros((n,), jnp.int32)
+        return mem, memp, ctc, ids, conf, est
+
+    def _pad_batch(self, imgs: np.ndarray) -> Tuple[np.ndarray, int]:
+        n = imgs.shape[0]
+        bucket = D.pick_batch_bucket(self.cfg, n)
+        if bucket > n:
+            pad = np.zeros((bucket - n,) + imgs.shape[1:], imgs.dtype)
+            imgs = np.concatenate([imgs, pad], axis=0)
+        return imgs, n
+
+    def encode_batch(self, imgs_u8: np.ndarray):
+        """Returns (memp, ctc_logits, ctc_ids, ctc_conf, est_len, n_valid)."""
+        padded, n = self._pad_batch(np.asarray(imgs_u8))
+        mem, memp, ctc, ids, conf, est = self._encode_jit(self.variables, padded)
+        return memp, ctc, ids, conf, est, n
+
+    def _decode_texts(self, out: D.DecodeOut, n: int) -> Tuple[List[str], np.ndarray, np.ndarray]:
+        tokens = np.asarray(out.tokens)[:n]
+        lengths = np.asarray(out.lengths)[:n]
+        # Text = tokens[1:length], stop at eos (reference: model.py:584-590).
+        texts = []
+        for i in range(n):
+            ids = tokens[i, 1:lengths[i]]
+            eos_pos = np.nonzero(ids == self.tok.dec_eos)[0]
+            if eos_pos.size:
+                ids = ids[: eos_pos[0]]
+            texts.append(self.tok.decode_dec(ids))
+        return texts, np.asarray(out.final_conf)[:n], np.asarray(out.dec_conf)[:n]
+
+    def _step_cap(self, est_len: np.ndarray, n: int) -> int:
+        tl = np.asarray(est_len)[:n]
+        ms = np.where(
+            tl > 0,
+            np.minimum(self.cfg.MAX_DEC_LEN,
+                       (tl * self.cfg.DEC_MAX_LEN_RATIO).astype(np.int64)
+                       + self.cfg.DEC_MAX_LEN_PAD),
+            min(self.cfg.MAX_DEC_LEN, int(160 * self.cfg.MEM_MAX_LEN_RATIO)
+                + self.cfg.DEC_MAX_LEN_PAD))
+        return D.pick_l_cap(self.cfg, int(ms.max(initial=1)))
+
+    # ---------------------------------------------------------- public paths
+    def recognize_batch(self, imgs_u8: np.ndarray, method: str) -> List[Tuple[str, float]]:
+        """Recognize N line images. method in {"ctc", "decoder", "beam"}."""
+        imgs_u8 = np.asarray(imgs_u8)
+        if imgs_u8.shape[0] == 0:
+            return []
+        memp, ctc, ids, conf, est, n = self.encode_batch(imgs_u8)
+
+        if method == "ctc":
+            texts = self.tok.decode_ctc_batch(np.asarray(ids)[:n])
+            confs = np.asarray(conf)[:n]
+            return list(zip(texts, confs.astype(float)))
+
+        k = 1 if method == "decoder" else self.cfg.BEAM
+        l_cap = self._step_cap(est, n)
+        tl = jnp.asarray(np.where(np.asarray(est) > 0, np.asarray(est), 0), jnp.int32)
+        out = D.beam_search(
+            self.variables, memp, ctc, tl, conf, cfg=self.cfg, k_beam=k,
+            l_cap=l_cap, eos_id=self.tok.dec_eos,
+            unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+            dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
+        texts, final_conf, _ = self._decode_texts(out, n)
+        return list(zip(texts, final_conf.astype(float)))
+
+    # ------------------------------------------------------------- streaming
+    def stream_records(self, img_u8: np.ndarray, method: str) -> Generator[Dict, None, None]:
+        """Streaming chunk dicts for ONE line image; schema matches the
+        reference streaming decoders exactly (kiri_ocr/model.py:689-1153)."""
+        imgs = np.asarray(img_u8)[None] if img_u8.ndim == 2 else np.asarray(img_u8)
+        memp, ctc, ids, conf, est, n = self.encode_batch(imgs)
+
+        if method == "ctc":
+            yield from self._stream_ctc(np.asarray(ids)[0], ctc)
+            return
+
+        l_cap = self._step_cap(est, 1)
+        tl = jnp.asarray(np.asarray(est), jnp.int32)
+        if method == "decoder":
+            out = D.greedy_decode(
+                self.variables, memp, tl, cfg=self.cfg, l_cap=l_cap,
+                eos_id=self.tok.dec_eos,
+                unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+                bos_id=self.tok.dec_bos)
+            yield from self._stream_greedy(out)
+        else:
+            out = D.beam_search(
+                self.variables, memp, ctc, tl, conf, cfg=self.cfg,
+                k_beam=self.cfg.BEAM, l_cap=l_cap, record_history=True,
+                eos_id=self.tok.dec_eos,
+                unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+                dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
+            yield from self._stream_beam(out)
+
+    def _stream_ctc(self, best_ids: np.ndarray, ctc_logits) -> Generator[Dict, None, None]:
+        """CTC frame streaming (reference: model.py:689-775)."""
+        probs = np.asarray(jax.nn.softmax(ctc_logits[0], axis=-1))
+        max_probs = probs.max(axis=-1)
+        decoded = ""
+        prev = None
+        step = 0
+        for t in range(len(best_ids)):
+            idx = int(best_ids[t])
+            if idx == prev:
+                continue
+            prev = idx
+            if idx < self.tok.ctc_offset:
+                continue
+            raw = idx - self.tok.ctc_offset
+            if 0 <= raw < self.tok.vocab_size:
+                char = self.tok.id_to_token.get(raw, "")
+                if char and char != self.tok.unk_token:
+                    decoded += char
+                    step += 1
+                    yield {"token": char, "token_id": idx, "text": decoded,
+                           "confidence": float(max_probs[t]), "step": step,
+                           "finished": False}
+        yield {"token": "", "token_id": -1, "text": decoded,
+               "confidence": float(max_probs.mean()), "step": step,
+               "finished": True}
+
+    def _stream_greedy(self, out: D.DecodeOut) -> Generator[Dict, None, None]:
+        """Greedy AR streaming (reference: model.py:779-946)."""
+        steps = int(np.asarray(out.hist_steps)[0])
+        extra = np.asarray(out.hist_extra)[0]  # [S, 2] = (raw prob, token id)
+        text = ""
+        for s in range(steps):
+            prob, tid = float(extra[s, 0]), int(extra[s, 1])
+            finished = tid == self.tok.dec_eos
+            char = ""
+            if not finished and tid not in (self.tok.dec_pad, self.tok.dec_bos,
+                                            self.tok.dec_eos):
+                raw = tid - self.tok.dec_offset
+                if 0 <= raw < self.tok.vocab_size:
+                    c = self.tok.id_to_token.get(raw, "")
+                    if c != self.tok.unk_token:
+                        char = c
+                        text += c
+            yield {"token": char, "token_id": tid, "text": text,
+                   "confidence": prob, "step": s + 1, "finished": finished}
+            if finished:
+                break
+
+    def _stream_beam(self, out: D.DecodeOut) -> Generator[Dict, None, None]:
+        """Beam streaming: best-hypothesis diff per step (model.py:949-1153)."""
+        steps = int(np.asarray(out.hist_steps)[0])
+        toks = np.asarray(out.hist_tokens)[0]
+        lens = np.asarray(out.hist_len)[0]
+        scores = np.asarray(out.hist_score)[0]
+        fins = np.asarray(out.hist_finished)[0]
+        prev_text = ""
+        for s in range(steps):
+            ids = toks[s, 1:lens[s]]
+            eos_pos = np.nonzero(ids == self.tok.dec_eos)[0]
+            if eos_pos.size:
+                ids = ids[: eos_pos[0]]
+            text = self.tok.decode_dec(ids)
+            token = text[len(prev_text):] if len(text) > len(prev_text) else ""
+            L = max(1, int(lens[s]) - 1)
+            confidence = float(min(1.0, max(0.0, np.exp(scores[s] / L)))) if L > 0 else 0.0
+            finished = bool(fins[s])
+            yield {"token": token, "text": text, "confidence": confidence,
+                   "step": s + 1, "finished": finished}
+            prev_text = text
+            if finished:
+                break

@@ -1,0 +1,427 @@
+"""Autoregressive decoding (greedy / beam) as dense, jit-compiled TPU programs.
+
+The reference implements beam search as a Python loop over steps with a list
+of variable-length beams, re-running the full decoder on every prefix with no
+KV cache (reference: kiri_ocr/model.py:390-600 — "HOT LOOP #2" in SURVEY).
+Here the whole search is one ``lax.while_loop``:
+
+* beam state is dense: tokens [N, K, L], scores [N, K], lengths, finished
+* the decoder runs one KV-cached step per iteration for all N*K rows
+* penalties (EOS bias, AAA / AB-AB / A-B-A-B / ABC-ABC repeats, <unk>) are
+  vectorized scatter-adds — bit-parity with the reference penalty stack
+  (kiri_ocr/model.py:487-534)
+* pruning uses the reference length-normalized score
+  ``score / (((5+L)^p)/((5+1)^p))`` and final ranking adds the CTC
+  forward-algorithm alignment score (kiri_ocr/model.py:549-574)
+
+Shapes are static per (N, K, L_cap) triple; the pipeline buckets batch sizes
+and decode lengths so only a handful of programs ever compile.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import recognizer as R
+from .ctc import ctc_alignment_scores, greedy_ctc_stats
+
+NEG_INF = -1e30
+
+
+class DecodeOut(NamedTuple):
+    """Device results of a batched decode (host decodes text from tokens)."""
+    tokens: jnp.ndarray        # [N, L_buf] best-beam token ids (incl. bos/eos)
+    lengths: jnp.ndarray       # [N] total tokens incl. bos (and eos if emitted)
+    dec_conf: jnp.ndarray      # [N] exp(mean step logp) of best beam
+    final_conf: jnp.ndarray    # [N] 0.6*dec + 0.4*ctc (reference mix)
+    ctc_conf: jnp.ndarray      # [N]
+    # History buffers (all-zero unless record_history=True):
+    hist_tokens: jnp.ndarray   # [N, S, L_buf] best-beam snapshot per step
+    hist_len: jnp.ndarray      # [N, S]
+    hist_score: jnp.ndarray    # [N, S] cumulative score of best beam
+    hist_finished: jnp.ndarray  # [N, S] bool
+    hist_steps: jnp.ndarray    # [N] number of executed steps per line
+    hist_extra: jnp.ndarray    # [N, S, 2] greedy-mode (raw prob, token id)
+
+
+def _gather_last(tokens: jnp.ndarray, t, back: int) -> jnp.ndarray:
+    """tokens[..., t-back] with clipping (invalid when t < back; callers gate)."""
+    idx = jnp.maximum(t - back, 0)
+    return jnp.take_along_axis(
+        tokens, jnp.broadcast_to(idx, tokens.shape[:-1] + (1,)), axis=-1)[..., 0]
+
+
+def apply_penalties(logp: jnp.ndarray, tokens: jnp.ndarray, t, cfg,
+                    target_len: jnp.ndarray, eos_id: int, unk_dec_id: int) -> jnp.ndarray:
+    """Vectorized reference penalty stack (kiri_ocr/model.py:487-534).
+
+    logp:       [R, V] fused log-probs for the next token
+    tokens:     [R, L] generated prefix (tokens[.., t] is the newest)
+    t:          current step (all alive rows have seq length t+1, cur_len=t)
+    target_len: [R] CTC length estimate (0 = unavailable)
+    """
+    rows = jnp.arange(logp.shape[0])
+    n = t + 1  # len(seq)
+
+    # --- A. EOS bias (no-op with default 0.0 biases; kept for parity) ---
+    if cfg.EOS_LOGP_BIAS != 0.0 or cfg.EOS_LOGP_BOOST != 0.0:
+        has_tl = target_len > 0
+        min_len = jnp.minimum(cfg.EOS_BIAS_UNTIL_LEN,
+                              jnp.maximum(1, (target_len.astype(jnp.float32) * 0.5).astype(jnp.int32)))
+        bias = jnp.where(
+            has_tl,
+            jnp.where(t < min_len, -cfg.EOS_LOGP_BIAS,
+                      jnp.where(t >= target_len, cfg.EOS_LOGP_BOOST, 0.0)),
+            jnp.where(t < cfg.EOS_BIAS_UNTIL_LEN, -cfg.EOS_LOGP_BIAS, 0.0),
+        )
+        logp = logp.at[rows, eos_id].add(bias)
+
+    s1 = _gather_last(tokens, t, 0)
+    s2 = _gather_last(tokens, t, 1)
+    s3 = _gather_last(tokens, t, 2)
+    s4 = _gather_last(tokens, t, 3)
+    s5 = _gather_last(tokens, t, 4)
+    s6 = _gather_last(tokens, t, 5)
+
+    # --- B1. exact repeat AAA ---
+    c1 = (n >= 4) & (s1 == s2) & (s2 == s3)
+    logp = logp.at[rows, s1].add(-cfg.REPEAT_LAST_PENALTY * c1)
+
+    # --- B2. bigram repeat AB-AB ---
+    big = (n >= 4) & (s2 == s4) & (s1 == s3)
+    logp = logp.at[rows, s1].add(-cfg.REPEAT_BIGRAM_PENALTY * big)
+    logp = logp.at[rows, s2].add(-cfg.REPEAT_BIGRAM_PENALTY * big)
+
+    # --- B3. interrupted repeat A-B-A-B (same condition; reference
+    #         double-penalizes s[-1] — kept bit-for-bit) ---
+    aba = (n >= 3) & (s1 == s3) & (n >= 4) & (s2 == s4)
+    logp = logp.at[rows, s1].add(-cfg.REPEAT_BIGRAM_PENALTY * aba)
+
+    # --- B4. trigram repeat ABC-ABC ---
+    tri = (n >= 6) & (s3 == s6) & (s2 == s5) & (s1 == s4)
+    logp = logp.at[rows, s1].add(-cfg.REPEAT_TRIGRAM_PENALTY * tri)
+    logp = logp.at[rows, s2].add(-cfg.REPEAT_TRIGRAM_PENALTY * tri)
+    logp = logp.at[rows, s3].add(-cfg.REPEAT_TRIGRAM_PENALTY * tri)
+
+    # --- C. <unk> penalty ---
+    logp = logp.at[:, unk_dec_id].add(-cfg.UNK_LOGP_PENALTY)
+    return logp
+
+
+def _fused_logp(dec_logits, lm_logits, cfg):
+    logp = jax.nn.log_softmax(dec_logits, axis=-1)
+    if lm_logits is not None and cfg.USE_LM and cfg.USE_LM_FUSION_EVAL:
+        logp = logp + cfg.LM_FUSION_ALPHA * jax.nn.log_softmax(lm_logits, axis=-1)
+    return logp
+
+
+def max_decode_steps(cfg, target_len: jnp.ndarray, mem_len: int) -> jnp.ndarray:
+    """Per-line step budget (reference: kiri_ocr/model.py:408-425)."""
+    with_tl = jnp.minimum(
+        cfg.MAX_DEC_LEN,
+        (target_len.astype(jnp.float32) * cfg.DEC_MAX_LEN_RATIO).astype(jnp.int32)
+        + cfg.DEC_MAX_LEN_PAD)
+    without = min(cfg.MAX_DEC_LEN, int(mem_len * cfg.MEM_MAX_LEN_RATIO) + cfg.DEC_MAX_LEN_PAD)
+    return jnp.where(target_len > 0, with_tl, without)
+
+
+def _labels_from_tokens(tokens: jnp.ndarray, lengths: jnp.ndarray,
+                        eos_id: int, dec_offset: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense decoder sequences -> compacted CTC label rows.
+
+    Keeps ids >= dec_offset at positions [1, length) (drops bos/pad/eos),
+    maps dec id -> ctc id (= id - 1 for chars given offsets 3 vs 2), and
+    left-compacts (reference: kiri_ocr/model.py:613-621).
+    """
+    r, lbuf = tokens.shape
+    pos = jnp.arange(lbuf)[None, :]
+    keep = (pos >= 1) & (pos < lengths[:, None]) & (tokens >= dec_offset)
+    dest = jnp.cumsum(keep, axis=1) - 1
+    dest = jnp.where(keep, dest, lbuf)  # dropped entries go out of bounds
+    labels = jnp.zeros((r, lbuf), jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(r)[:, None], (r, lbuf))
+    labels = labels.at[rows, dest].set(jnp.where(keep, tokens - 1, 0), mode="drop")
+    lens = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return labels, lens
+
+
+# ==========================================================================
+# Beam search
+# ==========================================================================
+@partial(jax.jit, static_argnames=("cfg", "k_beam", "l_cap", "record_history",
+                                   "eos_id", "unk_dec_id", "dec_offset", "bos_id"))
+def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
+                ctc_logits: Optional[jnp.ndarray], target_len: jnp.ndarray,
+                ctc_conf: jnp.ndarray, *, cfg, k_beam: int, l_cap: int,
+                record_history: bool = False, eos_id: int = 2,
+                unk_dec_id: int = 3, dec_offset: int = 3, bos_id: int = 1) -> DecodeOut:
+    """Batched beam search over N lines with K beams each.
+
+    mem_proj:   [N, T, Ddec] projected encoder memory
+    ctc_logits: [N, T, C] or None — used for length estimation upstream and
+                final fusion rescoring here
+    target_len: [N] int32 CTC length estimates (0 = none)
+    l_cap:      static decode-step budget (bucketed MAX over max_steps)
+    """
+    n, t_mem, _ = mem_proj.shape
+    K = k_beam
+    l_buf = l_cap + 2
+    dtype = R.compute_dtype(cfg)
+
+    max_steps = jnp.minimum(max_decode_steps(cfg, target_len, t_mem), l_cap)
+
+    # Cross-attention K/V computed once; repeated across beams.
+    mem_rep = jnp.repeat(mem_proj, K, axis=0)           # [N*K, T, D]
+    cross_kvs = R.decode_prepare(variables, mem_rep, cfg)
+    cache = R.init_decode_cache(cfg, n * K, l_buf)
+
+    tokens0 = jnp.zeros((n, K, l_buf), jnp.int32).at[:, :, 0].set(bos_id)
+    scores0 = jnp.full((n, K), NEG_INF).at[:, 0].set(0.0)
+    lengths0 = jnp.ones((n, K), jnp.int32)
+    finished0 = jnp.zeros((n, K), bool)
+
+    hist_shape = (n, l_cap if record_history else 1, l_buf)
+    hist = {
+        "tokens": jnp.zeros(hist_shape, jnp.int32),
+        "len": jnp.zeros(hist_shape[:2], jnp.int32),
+        "score": jnp.zeros(hist_shape[:2], jnp.float32),
+        "fin": jnp.zeros(hist_shape[:2], bool),
+        "extra": jnp.zeros(hist_shape[:2] + (2,), jnp.float32),
+    }
+
+    def norm_penalty(L):
+        Lf = jnp.maximum(1, L).astype(jnp.float32)
+        return ((5.0 + Lf) ** cfg.BEAM_LENP) / ((5.0 + 1.0) ** cfg.BEAM_LENP)
+
+    def cond(state):
+        t, tokens, scores, lengths, finished, cache, hist, steps_done = state
+        line_active = (t < max_steps) & ~jnp.all(finished, axis=1)
+        return jnp.any(line_active)
+
+    def body(state):
+        t, tokens, scores, lengths, finished, cache, hist, steps_done = state
+        line_active = (t < max_steps) & ~jnp.all(finished, axis=1)  # [N]
+
+        cur_tok = jnp.take_along_axis(
+            tokens, jnp.broadcast_to(jnp.maximum(lengths - 1, 0)[..., None],
+                                     (n, K, 1)), axis=2)[..., 0]
+        dec_logits, lm_logits, cache = R.decoder_step(
+            variables, cur_tok.reshape(n * K), t, cache, cross_kvs, cfg)
+        logp = _fused_logp(dec_logits, lm_logits, cfg)         # [N*K, V]
+        tl_rep = jnp.repeat(target_len, K)
+        logp = apply_penalties(logp, tokens.reshape(n * K, l_buf), t, cfg,
+                               tl_rep, eos_id, unk_dec_id)
+        v = logp.shape[-1]
+        logp = logp.reshape(n, K, v)
+
+        topv, topi = jax.lax.top_k(logp, K)                    # [N, K, K]
+
+        # Candidate pool per line: K parents x K expansions.
+        # Finished parents contribute themselves once (slot 0) and -inf dummies.
+        exp_scores = scores[..., None] + topv                  # [N, K, K]
+        parent_fin = finished[..., None]                       # [N, K, 1]
+        self_slot = (jnp.arange(K) == 0)[None, None, :]
+        cand_scores = jnp.where(
+            parent_fin, jnp.where(self_slot, scores[..., None], NEG_INF), exp_scores)
+        cand_scores = jnp.maximum(cand_scores, NEG_INF)
+        cand_len = jnp.broadcast_to(
+            jnp.where(parent_fin, lengths[..., None], lengths[..., None] + 1),
+            (n, K, K))
+        cand_fin = jnp.where(parent_fin, True, topi == eos_id)
+        cand_tok = jnp.where(parent_fin, 0, topi)
+
+        normed = cand_scores / norm_penalty(cand_len - 1)
+        flat = lambda x: x.reshape(n, K * K)
+        sel_normed, sel_idx = jax.lax.top_k(flat(normed), K)   # [N, K]
+        parent = sel_idx // K
+
+        def g(x):  # gather candidate field by flat index
+            return jnp.take_along_axis(flat(x), sel_idx, axis=1)
+
+        new_scores = g(cand_scores)
+        new_lengths = g(cand_len)
+        new_finished = g(cand_fin)
+        new_tok_ids = g(cand_tok)
+
+        parent_tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
+        write_pos = jnp.take_along_axis(lengths, parent, axis=1)  # parent length
+        was_fin = jnp.take_along_axis(finished, parent, axis=1)
+        rowsN = jnp.broadcast_to(jnp.arange(n)[:, None], (n, K))
+        rowsK = jnp.broadcast_to(jnp.arange(K)[None, :], (n, K))
+        new_tokens = parent_tokens.at[rowsN, rowsK, write_pos].set(
+            jnp.where(was_fin, parent_tokens[rowsN, rowsK, jnp.minimum(write_pos, l_buf - 1)],
+                      new_tok_ids))
+
+        # Reorder KV cache rows to follow their parents.
+        flat_parent = (rowsN * K + parent).reshape(-1)
+        cache = {k: v[:, flat_parent] for k, v in cache.items()}
+
+        # Freeze lines that are done (keep previous state).
+        la = line_active[:, None]
+        tokens = jnp.where(la[..., None], new_tokens, tokens)
+        scores = jnp.where(la, new_scores, scores)
+        lengths = jnp.where(la, new_lengths, lengths)
+        finished = jnp.where(la, new_finished, finished)
+        steps_done = steps_done + line_active.astype(jnp.int32)
+
+        if record_history:
+            # Reference streaming uses plain L^p normalization for ordering
+            # (kiri_ocr/model.py:1112-1115); beams[0] after sort == argmax.
+            stream_norm = scores / (
+                jnp.maximum(1, lengths - 1).astype(jnp.float32) ** cfg.BEAM_LENP)
+            best_slot = jnp.argmax(stream_norm, axis=1)
+            bt = jnp.take_along_axis(tokens, best_slot[:, None, None], axis=1)[:, 0]
+            bl = jnp.take_along_axis(lengths, best_slot[:, None], axis=1)[:, 0]
+            bs = jnp.take_along_axis(scores, best_slot[:, None], axis=1)[:, 0]
+            bf = jnp.take_along_axis(finished, best_slot[:, None], axis=1)[:, 0]
+            w = jnp.minimum(t, hist["tokens"].shape[1] - 1)
+            hist = {
+                "tokens": hist["tokens"].at[:, w].set(
+                    jnp.where(line_active[:, None], bt, hist["tokens"][:, w])),
+                "len": hist["len"].at[:, w].set(jnp.where(line_active, bl, hist["len"][:, w])),
+                "score": hist["score"].at[:, w].set(jnp.where(line_active, bs, hist["score"][:, w])),
+                "fin": hist["fin"].at[:, w].set(jnp.where(line_active, bf, hist["fin"][:, w])),
+                "extra": hist["extra"],
+            }
+
+        return (t + 1, tokens, scores, lengths, finished, cache, hist, steps_done)
+
+    steps_done0 = jnp.zeros((n,), jnp.int32)
+    state = (jnp.asarray(0, jnp.int32), tokens0, scores0, lengths0, finished0,
+             cache, hist, steps_done0)
+    _, tokens, scores, lengths, finished, cache, hist, steps_done = \
+        jax.lax.while_loop(cond, body, state)
+
+    # ---------- final scoring with CTC fusion (kiri_ocr/model.py:561-598) ----
+    L = jnp.maximum(1, lengths - 1).astype(jnp.float32)
+    dec_score = scores / (L ** cfg.BEAM_LENP)
+    dec_conf = jnp.where(lengths > 1, jnp.exp(scores / L), 0.0)
+    dec_conf = jnp.clip(dec_conf, 0.0, 1.0)
+
+    if ctc_logits is not None and cfg.CTC_FUSION_ALPHA > 0:
+        log_probs = jax.nn.log_softmax(ctc_logits, axis=-1)
+        lp_rep = jnp.repeat(log_probs, K, axis=0)
+        labels, lab_lens = _labels_from_tokens(
+            tokens.reshape(n * K, l_buf), lengths.reshape(-1), eos_id, dec_offset)
+        ctc_scores = ctc_alignment_scores(lp_rep, labels, lab_lens).reshape(n, K)
+        combined = dec_score + cfg.CTC_FUSION_ALPHA * ctc_scores
+    else:
+        combined = dec_score
+
+    best = jnp.argmax(combined, axis=1)
+    take = lambda x: jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
+    best_tokens = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+    best_len = take(lengths)
+    best_dec_conf = take(dec_conf)
+    if ctc_logits is not None:
+        final_conf = 0.6 * best_dec_conf + 0.4 * ctc_conf
+    else:
+        final_conf = best_dec_conf
+
+    return DecodeOut(best_tokens, best_len, best_dec_conf, final_conf, ctc_conf,
+                     hist["tokens"], hist["len"], hist["score"], hist["fin"],
+                     steps_done, hist["extra"])
+
+
+# ==========================================================================
+# Greedy streaming decode (argmax-on-raw-logits reference quirk preserved)
+# ==========================================================================
+@partial(jax.jit, static_argnames=("cfg", "l_cap", "eos_id", "unk_dec_id", "bos_id"))
+def greedy_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
+                  target_len: jnp.ndarray, *, cfg, l_cap: int,
+                  eos_id: int = 2, unk_dec_id: int = 3, bos_id: int = 1) -> DecodeOut:
+    """Greedy AR decode for N lines, recording per-step history.
+
+    Parity notes (reference greedy_decode_streaming, kiri_ocr/model.py:779-946):
+    token choice is argmax of the *raw* dec logits — penalties/LM fusion alter
+    only the recorded logp, not the selection. History rows carry
+    (raw softmax prob, token id) so the host can emit the exact chunk dicts.
+    """
+    n, t_mem, _ = mem_proj.shape
+    l_buf = l_cap + 2
+
+    max_steps = jnp.minimum(max_decode_steps(cfg, target_len, t_mem), l_cap)
+    cross_kvs = R.decode_prepare(variables, mem_proj, cfg)
+    cache = R.init_decode_cache(cfg, n, l_buf)
+
+    tokens0 = jnp.zeros((n, l_buf), jnp.int32).at[:, 0].set(bos_id)
+    lengths0 = jnp.ones((n,), jnp.int32)
+    finished0 = jnp.zeros((n,), bool)
+    score0 = jnp.zeros((n,), jnp.float32)
+
+    hist = {
+        "extra": jnp.zeros((n, l_cap, 2), jnp.float32),
+        "logp": jnp.zeros((n, l_cap), jnp.float32),
+    }
+
+    def cond(state):
+        t, *_ , finished, _, _, _ = state
+        return jnp.any((t < max_steps) & ~finished)
+
+    def body(state):
+        t, tokens, lengths, score, finished, cache, hist, steps_done = state
+        active = (t < max_steps) & ~finished
+
+        cur_tok = jnp.take_along_axis(tokens, jnp.maximum(lengths - 1, 0)[:, None],
+                                      axis=1)[:, 0]
+        dec_logits, lm_logits, cache = R.decoder_step(
+            variables, cur_tok, t, cache, cross_kvs, cfg)
+        logp = _fused_logp(dec_logits, lm_logits, cfg)
+        logp = apply_penalties(logp, tokens, t, cfg, target_len, eos_id, unk_dec_id)
+
+        raw_probs = jax.nn.softmax(dec_logits, axis=-1)
+        best_id = jnp.argmax(raw_probs, axis=-1).astype(jnp.int32)
+        best_prob = jnp.max(raw_probs, axis=-1)
+        best_logp = jnp.take_along_axis(logp, best_id[:, None], axis=1)[:, 0]
+
+        is_eos = best_id == eos_id
+        new_tokens = tokens.at[jnp.arange(n), lengths].set(
+            jnp.where(active, best_id, tokens[jnp.arange(n), jnp.minimum(lengths, l_buf - 1)]))
+        new_lengths = jnp.where(active, lengths + 1, lengths)
+        new_finished = jnp.where(active, is_eos, finished)
+        new_score = jnp.where(active, score + best_logp, score)
+
+        w = jnp.minimum(t, l_cap - 1)
+        hist = {
+            "extra": hist["extra"].at[:, w].set(
+                jnp.where(active[:, None],
+                          jnp.stack([best_prob, best_id.astype(jnp.float32)], -1),
+                          hist["extra"][:, w])),
+            "logp": hist["logp"].at[:, w].set(
+                jnp.where(active, best_logp, hist["logp"][:, w])),
+        }
+        steps_done = steps_done + active.astype(jnp.int32)
+        return (t + 1, new_tokens, new_lengths, new_score, new_finished,
+                cache, hist, steps_done)
+
+    state = (jnp.asarray(0, jnp.int32), tokens0, lengths0, score0, finished0,
+             cache, hist, jnp.zeros((n,), jnp.int32))
+    _, tokens, lengths, score, finished, cache, hist, steps_done = \
+        jax.lax.while_loop(cond, body, state)
+
+    L = jnp.maximum(1, lengths - 1).astype(jnp.float32)
+    dec_conf = jnp.clip(jnp.where(lengths > 1, jnp.exp(score / L), 0.0), 0.0, 1.0)
+    z2 = jnp.zeros((n, 1, tokens.shape[1]), jnp.int32)
+    return DecodeOut(tokens, lengths, dec_conf, dec_conf, jnp.zeros((n,)),
+                     z2, jnp.zeros((n, 1), jnp.int32), jnp.zeros((n, 1)),
+                     jnp.zeros((n, 1), bool), steps_done, hist["extra"])
+
+
+def pick_l_cap(cfg, max_steps_host: int) -> int:
+    """Smallest configured step bucket covering max_steps (static for jit)."""
+    for b in cfg.STEP_BUCKETS:
+        if b >= max_steps_host:
+            return int(b)
+    return int(cfg.STEP_BUCKETS[-1])
+
+
+def pick_batch_bucket(cfg, n: int) -> int:
+    for b in cfg.BATCH_BUCKETS:
+        if b >= n:
+            return int(b)
+    return int(math.ceil(n / cfg.BATCH_BUCKETS[-1]) * cfg.BATCH_BUCKETS[-1])

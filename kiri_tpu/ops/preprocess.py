@@ -1,0 +1,181 @@
+"""Line-image preprocessing for the recognizer.
+
+Reference semantics (kiri_ocr/model.py:311-339, kiri_ocr/core.py:489-528):
+
+* grayscale
+* invert when mean < 127 (dark background)
+* resize keeping aspect ratio to height H (bilinear); width = round(iw * H/ih)
+* if the resized width >= W: crop to W; else pad right side with gray=128
+  (left-aligned content)
+* normalize: (x/255 - 0.5) / 0.5  ->  [-1, 1]
+
+TPU-first design: the host produces a *uint8* [N, H, W] batch (4x fewer
+host->device bytes than f32); the jitted model casts + normalizes on device,
+where XLA fuses it into the first convolution. Two host paths are provided:
+
+* ``preprocess_pil``    — bit-exact mirror of the reference PIL path
+                          (used for parity tests and single-image API).
+* ``preprocess_np``     — fast cv2 path used by the batched pipeline and by
+                          training (self-consistent: train == serve).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+from PIL import Image
+
+
+# --------------------------------------------------------------------------
+# Reference-exact PIL path
+# --------------------------------------------------------------------------
+class ResizeKeepRatioPadNoCrop:
+    """Mirror of the reference transform (kiri_ocr/model.py:311-331)."""
+
+    def __init__(self, h: int, w: int):
+        self.h = h
+        self.w = w
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        iw, ih = img.size
+        if ih <= 0 or iw <= 0:
+            return img.resize((self.w, self.h), Image.BILINEAR)
+
+        scale = self.h / float(ih)
+        nw = max(1, int(round(iw * scale)))
+        img = img.resize((nw, self.h), Image.BILINEAR)
+
+        if nw >= self.w:
+            return img.crop((0, 0, self.w, self.h))
+
+        new_img = Image.new("L", (self.w, self.h), 128)
+        new_img.paste(img, (0, 0))
+        return new_img
+
+
+def preprocess_pil(cfg, pil: Image.Image) -> np.ndarray:
+    """PIL image -> normalized f32 array [1, 1, H, W] (reference-exact)."""
+    img = pil.convert("L")
+    img = ResizeKeepRatioPadNoCrop(cfg.IMG_H, cfg.IMG_W)(img)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr = (arr - 0.5) / 0.5
+    return arr[None, None]
+
+
+def preprocess_pil_u8(cfg, pil: Image.Image) -> np.ndarray:
+    """PIL image -> uint8 [H, W] (resize/pad only; normalization on device)."""
+    img = pil.convert("L")
+    img = ResizeKeepRatioPadNoCrop(cfg.IMG_H, cfg.IMG_W)(img)
+    return np.asarray(img, dtype=np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Fast numpy/cv2 path (batched pipeline + training)
+# --------------------------------------------------------------------------
+def resize_keep_ratio_pad_np(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """uint8 [ih, iw] -> uint8 [h, w]; same geometry as the PIL transform."""
+    ih, iw = img.shape[:2]
+    if ih <= 0 or iw <= 0:
+        return np.full((h, w), 128, dtype=np.uint8)
+    scale = h / float(ih)
+    nw = max(1, int(round(iw * scale)))
+    if _HAS_CV2:
+        resized = cv2.resize(img, (min(nw, w) if nw >= w else nw, h),
+                             interpolation=cv2.INTER_AREA if scale < 1.0 else cv2.INTER_LINEAR)
+        # cv2.resize to (min(nw,w), h) already crops horizontally when nw >= w
+        if resized.shape[1] >= w:
+            return np.ascontiguousarray(resized[:, :w])
+    else:  # PIL fallback
+        pil = Image.fromarray(img).resize((nw, h), Image.BILINEAR)
+        resized = np.asarray(pil, dtype=np.uint8)
+        if nw >= w:
+            return np.ascontiguousarray(resized[:, :w])
+    out = np.full((h, w), 128, dtype=np.uint8)
+    out[:, : resized.shape[1]] = resized
+    return out
+
+
+def invert_if_dark(img: np.ndarray) -> np.ndarray:
+    """Invert when mean < 127 (reference: kiri_ocr/core.py:524-526)."""
+    if float(img.mean()) < 127.0:
+        return 255 - img
+    return img
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 3:
+        if _HAS_CV2:
+            return cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        return np.asarray(Image.fromarray(img[..., ::-1]).convert("L"), dtype=np.uint8)
+    return img
+
+
+def preprocess_np(cfg, img: np.ndarray) -> np.ndarray:
+    """Grayscale ndarray -> uint8 [H, W] model input (no normalization)."""
+    img = to_gray(img)
+    img = invert_if_dark(img)
+    return resize_keep_ratio_pad_np(img, cfg.IMG_H, cfg.IMG_W)
+
+
+def crop_region(img_gray: np.ndarray, box: Tuple[int, int, int, int],
+                extra_padding: int = 5) -> Optional[np.ndarray]:
+    """Crop a detection box with bounds-checked padding
+    (reference: kiri_ocr/core.py:489-517). Returns None for empty crops."""
+    img_h, img_w = img_gray.shape[:2]
+    x, y, w, h = box
+    x1 = max(0, int(x) - extra_padding)
+    y1 = max(0, int(y) - extra_padding)
+    x2 = min(img_w, int(x) + int(w) + extra_padding)
+    y2 = min(img_h, int(y) + int(h) + extra_padding)
+    roi = img_gray[y1:y2, x1:x2]
+    if roi.size == 0:
+        return None
+    return roi
+
+
+def preprocess_regions(cfg, img_gray: np.ndarray,
+                       boxes: Sequence[Tuple[int, int, int, int]],
+                       extra_padding: int = 5) -> Tuple[np.ndarray, List[int]]:
+    """Crop + preprocess all boxes of a page into one uint8 [N, H, W] batch.
+
+    Replaces the reference per-box Python/model round-trips
+    (kiri_ocr/core.py:770-793) with a single host pass; the device then sees
+    one batched call. Returns (batch, kept_indices) where kept_indices maps
+    batch rows back to input box indices (empty crops are dropped, matching
+    the reference `continue`).
+    """
+    out = []
+    kept = []
+    for i, box in enumerate(boxes):
+        roi = crop_region(img_gray, box, extra_padding)
+        if roi is None:
+            continue
+        roi = invert_if_dark(to_gray(roi))
+        out.append(resize_keep_ratio_pad_np(roi, cfg.IMG_H, cfg.IMG_W))
+        kept.append(i)
+    if not out:
+        return np.zeros((0, cfg.IMG_H, cfg.IMG_W), dtype=np.uint8), kept
+    return np.stack(out), kept
+
+
+def normalize_u8(batch_u8, dtype):
+    """uint8 [..., H, W] -> normalized float [..., 1, H, W] on device.
+
+    This is the device-side half of preprocessing; called inside jit so XLA
+    fuses it with the stem convolution.
+    """
+    import jax.numpy as jnp
+
+    x = batch_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+    x = (x - jnp.asarray(0.5, dtype)) / jnp.asarray(0.5, dtype)
+    if x.ndim == 3:
+        x = x[:, None]
+    return x

@@ -1,0 +1,422 @@
+"""The OCR pipeline: detection -> batched recognition -> text assembly.
+
+Public surface is preserved from the reference ``OCR`` class
+(reference: kiri_ocr/core.py:40-1161): constructor arguments, decode-method
+aliases, ``extract_text`` -> (full_text, results) with the exact result-dict
+keys, ``process_document[_streaming]``, ``extract_text_stream_chars`` chunk
+schema, ``recognize_region[_streaming]``, ``recognize_single_line_image``,
+lazy ``detector`` property and class-level model cache.
+
+TPU-first difference: ``process_document`` crops all detected regions and
+recognizes them in batched, bucketed compiled calls (see engine.py) instead
+of the reference's one-model-dispatch-per-line Python loop
+(kiri_ocr/core.py:770-793, "HOT LOOP #1").
+"""
+from __future__ import annotations
+
+import sys
+import warnings
+from pathlib import Path
+from typing import Dict, Generator, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .config import CFG
+from .engine import RecognizerEngine
+from .models import recognizer as R
+from .ops.preprocess import (crop_region, invert_if_dark, preprocess_np,
+                             preprocess_regions, to_gray)
+from .tokenizer import CharTokenizer
+from .train.checkpoints import find_vocab_file, load_checkpoint
+
+DecodeMethod = str
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+class OCR:
+    """Complete document OCR system on TPU.
+
+    Example:
+        >>> ocr = OCR(model_path='models/model.safetensors')
+        >>> text, results = ocr.extract_text('document.png')
+    """
+
+    _model_cache: Dict[Tuple[str, str], Dict] = {}
+
+    def __init__(
+        self,
+        model_path: str = "models/model.safetensors",
+        det_model_path: Optional[str] = None,
+        det_method: str = "db",
+        det_conf_threshold: float = 0.5,
+        padding: int = 10,
+        device: str = "tpu",
+        verbose: bool = False,
+        decode_method: DecodeMethod = "accurate",
+        use_beam_search: Optional[bool] = None,  # deprecated
+        use_fp16: Optional[bool] = None,
+    ):
+        if use_beam_search is not None:
+            warnings.warn(
+                "use_beam_search is deprecated. Use decode_method instead:\n"
+                "  - decode_method='fast' (replaces use_beam_search=False)\n"
+                "  - decode_method='accurate' (default, balanced)\n"
+                "  - decode_method='beam' (replaces use_beam_search=True)",
+                DeprecationWarning, stacklevel=2)
+            decode_method = "beam" if use_beam_search else "fast"
+
+        decode_method = self._normalize_decode_method(decode_method)
+
+        self.device = device
+        self.verbose = verbose
+        self.padding = padding
+        self.det_model_path = det_model_path
+        self.det_method = det_method
+        self.det_conf_threshold = det_conf_threshold
+        self.decode_method = decode_method
+        self.use_fp16 = use_fp16
+        self.use_beam_search = decode_method == "beam"
+
+        self.cfg: Optional[CFG] = None
+        self.tokenizer: Optional[CharTokenizer] = None
+        self.engine: Optional[RecognizerEngine] = None
+
+        resolved = self._resolve_model_path(model_path)
+        self._load_model(resolved)
+        self._detector = None
+
+    # ------------------------------------------------------------ utilities
+    @staticmethod
+    def _normalize_decode_method(method: str) -> str:
+        method = method.lower().strip()
+        aliases = {"fast": "ctc", "ctc": "ctc", "accurate": "decoder",
+                   "decoder": "decoder", "beam": "beam"}
+        if method not in aliases:
+            raise ValueError(
+                f"Invalid decode_method '{method}'. Choose from: 'fast', "
+                f"'accurate', 'beam' (or aliases: 'ctc', 'decoder')")
+        return aliases[method]
+
+    def _resolve_model_path(self, model_path: str) -> str:
+        model_file = Path(model_path)
+        if model_file.exists():
+            return str(model_file)
+        pkg_dir = Path(__file__).parent
+        for candidate in (pkg_dir / model_path,
+                          pkg_dir.parent / "models" / model_file.name):
+            if candidate.exists():
+                return str(candidate)
+        return model_path
+
+    # --------------------------------------------------------- model loading
+    def _load_model(self, model_path: str) -> None:
+        cache_key = (str(model_path), self.device)
+        if cache_key in OCR._model_cache:
+            if self.verbose:
+                print("⚡ Loading from memory cache")
+            cached = OCR._model_cache[cache_key]
+            self.engine = cached["engine"]
+            self.cfg = cached["cfg"]
+            self.tokenizer = cached["tokenizer"]
+            return
+
+        if self.verbose:
+            print(f"📦 Loading OCR model from {model_path}...")
+
+        variables, cfg, meta = load_checkpoint(model_path)
+        if self.use_fp16 is not None:
+            cfg = cfg.replace(USE_FP16=self.use_fp16,
+                              COMPUTE_DTYPE="bfloat16" if self.use_fp16 else "float32")
+        self.cfg = cfg
+
+        vocab_path = find_vocab_file(meta.get("vocab_path", ""), model_path)
+        if not vocab_path:
+            raise FileNotFoundError(
+                f"Could not find vocabulary file. Expected near: {model_path}")
+        self.tokenizer = CharTokenizer(vocab_path, cfg)
+        self.engine = RecognizerEngine(variables, cfg, self.tokenizer)
+
+        if self.verbose:
+            print(f"  ✓ Loaded (Vocab: {self.tokenizer.vocab_size} chars)")
+
+        OCR._model_cache[cache_key] = {
+            "engine": self.engine, "cfg": self.cfg, "tokenizer": self.tokenizer,
+        }
+
+    # -------------------------------------------------------------- detector
+    @property
+    def detector(self):
+        if self._detector is None:
+            from .detect import TextDetector
+
+            self._detector = TextDetector(
+                method=self.det_method,
+                model_path=self.det_model_path,
+                conf_threshold=self.det_conf_threshold)
+        return self._detector
+
+    # ------------------------------------------------------------ recognition
+    def _preprocess_region(self, img: np.ndarray, box, extra_padding: int = 5):
+        roi = crop_region(img, box, extra_padding)
+        if roi is None:
+            return None
+        return preprocess_np(self.cfg, roi)
+
+    def recognize_region(self, image_tensor) -> Tuple[str, float]:
+        """Recognize one preprocessed line image (uint8 [H,W] or reference
+        [1,1,H,W] float layout)."""
+        img = self._coerce_input(image_tensor)
+        out = self.engine.recognize_batch(img[None], self.decode_method)
+        return out[0]
+
+    def _coerce_input(self, image_tensor) -> np.ndarray:
+        arr = np.asarray(image_tensor)
+        if arr.ndim == 4:  # [1, 1, H, W] normalized float (reference layout)
+            arr = arr[0, 0]
+        if arr.dtype != np.uint8:
+            arr = np.clip((arr * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+        return arr
+
+    def recognize_region_streaming(self, image_tensor,
+                                   decode_method: Optional[str] = None
+                                   ) -> Generator[Dict, None, None]:
+        img = self._coerce_input(image_tensor)
+        method = (self._normalize_decode_method(decode_method)
+                  if decode_method is not None else self.decode_method)
+        yield from self.engine.stream_records(img, method)
+
+    def recognize_streaming(self, image_path, decode_method: Optional[str] = None
+                            ) -> Generator[Dict, None, None]:
+        img = self._load_gray(image_path)
+        img = invert_if_dark(img)
+        yield from self.recognize_region_streaming(
+            preprocess_np(self.cfg, img), decode_method)
+
+    def recognize_single_line_image(self, image_path) -> Tuple[str, float]:
+        img = self._load_gray(image_path)
+        img = invert_if_dark(img)
+        return self.recognize_region(preprocess_np(self.cfg, img))
+
+    def _load_gray(self, image_path) -> np.ndarray:
+        img = cv2.imread(str(image_path))
+        if img is None:
+            raise ValueError(f"Could not load image: {image_path}")
+        return to_gray(img)
+
+    # ------------------------------------------------------ document pipeline
+    def _detect_boxes(self, image_path, mode: str):
+        if mode == "lines":
+            text_boxes = self.detector.detect_lines_objects(image_path)
+            boxes = [b.bbox for b in text_boxes]
+            det_confs = [b.confidence for b in text_boxes]
+        else:
+            boxes = self.detector.detect_words(image_path)
+            det_confs = [1.0] * len(boxes)
+        return boxes, det_confs
+
+    def process_document(self, image_path, mode: str = "lines",
+                         verbose: bool = False) -> List[Dict]:
+        """Detect + recognize; returns the reference result-dict list
+        (box, text, confidence, det_confidence, line_number)."""
+        if verbose:
+            print(f"\n📄 Processing: {image_path}")
+            print(f"🔲 Box padding: {self.padding}px")
+        boxes, det_confs = self._detect_boxes(image_path, mode)
+        if verbose:
+            print(f"🔍 Detected {len(boxes)} regions")
+
+        img_gray = self._load_gray(image_path)
+        batch, kept = preprocess_regions(self.cfg, img_gray, boxes, extra_padding=5)
+        recognized = self.engine.recognize_batch(batch, self.decode_method)
+
+        results = []
+        for row, bi in enumerate(kept):
+            text, confidence = recognized[row]
+            results.append({
+                "box": [int(v) for v in boxes[bi]],
+                "text": text,
+                "confidence": float(confidence),
+                "det_confidence": float(det_confs[bi]),
+                "line_number": bi + 1,
+            })
+            if verbose:
+                print(f"  {bi + 1:2d}. {text[:50]:50s} ({confidence * 100:.1f}%)")
+        return results
+
+    def process_document_streaming(self, image_path, mode: str = "lines",
+                                   verbose: bool = False
+                                   ) -> Generator[Dict, None, None]:
+        """Region-at-a-time result streaming. Recognition still runs batched
+        up front (TPU), results are yielded in reading order."""
+        if verbose:
+            print(f"\n📄 Processing (streaming): {image_path}")
+            print(f"🔲 Box padding: {self.padding}px")
+        boxes, det_confs = self._detect_boxes(image_path, mode)
+        total_regions = len(boxes)
+        if verbose:
+            print(f"🔍 Detected {total_regions} regions")
+
+        img_gray = self._load_gray(image_path)
+        batch, kept = preprocess_regions(self.cfg, img_gray, boxes, extra_padding=5)
+        recognized = self.engine.recognize_batch(batch, self.decode_method)
+        by_index = {bi: rec for bi, rec in zip(kept, recognized)}
+
+        for i, (box, det_conf) in enumerate(zip(boxes, det_confs), 1):
+            if (i - 1) not in by_index:
+                continue
+            text, confidence = by_index[i - 1]
+            result = {
+                "box": [int(v) for v in box],
+                "text": text,
+                "confidence": float(confidence),
+                "det_confidence": float(det_conf),
+                "line_number": i,
+                "total_regions": total_regions,
+            }
+            if verbose:
+                print(f"  {i:2d}. {text[:50]:50s} ({confidence * 100:.1f}%)")
+            yield result
+
+    def extract_text_stream_chars(self, image_path, mode: str = "lines",
+                                  decode_method: Optional[str] = None,
+                                  verbose: bool = False
+                                  ) -> Generator[Dict, None, None]:
+        """LLM-style character streaming with the reference chunk schema
+        (kiri_ocr/core.py:887-1026)."""
+        if verbose:
+            print(f"\n📄 Processing (char streaming): {image_path}")
+        boxes, det_confs = self._detect_boxes(image_path, mode)
+        total_regions = len(boxes)
+        if verbose:
+            print(f"🔍 Detected {total_regions} regions")
+
+        img_gray = self._load_gray(image_path)
+        all_region_texts: List[str] = []
+
+        for region_num, (box, det_conf) in enumerate(zip(boxes, det_confs), 1):
+            try:
+                roi = crop_region(img_gray, box, 5)
+                if roi is None:
+                    continue
+                region_img = preprocess_np(self.cfg, roi)
+
+                yield {
+                    "token": "", "text": "",
+                    "cumulative_text": "\n".join(all_region_texts),
+                    "region_number": region_num,
+                    "total_regions": total_regions,
+                    "step": 0, "region_finished": False,
+                    "document_finished": False, "region_start": True,
+                    "box": [int(v) for v in box],
+                    "det_confidence": float(det_conf),
+                }
+
+                current_region_text = ""
+                for chunk in self.recognize_region_streaming(region_img, decode_method):
+                    current_region_text = chunk["text"]
+                    temp = all_region_texts + (
+                        [current_region_text] if current_region_text else [])
+                    yield {
+                        "token": chunk["token"],
+                        "text": current_region_text,
+                        "cumulative_text": "\n".join(temp),
+                        "region_number": region_num,
+                        "total_regions": total_regions,
+                        "step": chunk["step"],
+                        "confidence": chunk["confidence"],
+                        "region_finished": chunk["finished"],
+                        "document_finished": chunk["finished"]
+                        and region_num == total_regions,
+                        "region_start": False,
+                        "box": [int(v) for v in box],
+                        "det_confidence": float(det_conf),
+                    }
+                    if chunk["finished"]:
+                        break
+
+                if current_region_text:
+                    all_region_texts.append(current_region_text)
+                if verbose:
+                    print(f"  {region_num:2d}. {current_region_text[:50]}")
+            except Exception as e:
+                if verbose:
+                    print(f"  {region_num:2d}. [Error: {e}]")
+                yield {
+                    "token": "", "text": "",
+                    "cumulative_text": "\n".join(all_region_texts),
+                    "region_number": region_num,
+                    "total_regions": total_regions,
+                    "step": 0, "region_finished": True,
+                    "document_finished": region_num == total_regions,
+                    "region_start": True,
+                    "box": [int(v) for v in box],
+                    "error": str(e),
+                }
+
+    def extract_text_streaming(self, image_path, mode: str = "lines",
+                               verbose: bool = False
+                               ) -> Generator[Dict, None, None]:
+        """Per-region streaming with cumulative text assembly
+        (kiri_ocr/core.py:1028-1102)."""
+        lines: List[str] = []
+        current_line: List[str] = []
+        prev_center_y = None
+        prev_height = None
+
+        for result in self.process_document_streaming(image_path, mode, verbose):
+            if "error" not in result and result["text"]:
+                y, h = result["box"][1], result["box"][3]
+                center_y = y + h / 2
+                if prev_center_y is not None:
+                    tolerance = max(h, prev_height) * 0.8
+                    if abs(center_y - prev_center_y) < tolerance:
+                        current_line.append(result["text"])
+                    else:
+                        if current_line:
+                            lines.append(" ".join(current_line))
+                        current_line = [result["text"]]
+                else:
+                    current_line = [result["text"]]
+                prev_center_y = center_y
+                prev_height = h
+
+            temp_lines = lines.copy()
+            if current_line:
+                temp_lines.append(" ".join(current_line))
+            result["cumulative_text"] = "\n".join(temp_lines)
+            yield result
+
+    def extract_text(self, image_path, mode: str = "lines",
+                     verbose: bool = False) -> Tuple[str, List[Dict]]:
+        """Full-document text extraction; line grouping joins regions whose
+        vertical centers fall within 80% of max height
+        (kiri_ocr/core.py:1104-1161)."""
+        results = self.process_document(image_path, mode, verbose=verbose)
+        if not results:
+            return "", results
+
+        lines: List[str] = []
+        current_line: List[str] = []
+        prev_center_y = None
+        prev_height = None
+        for res in results:
+            y, h = res["box"][1], res["box"][3]
+            center_y = y + h / 2
+            if prev_center_y is not None:
+                tolerance = max(h, prev_height) * 0.8
+                if abs(center_y - prev_center_y) < tolerance:
+                    current_line.append(res["text"])
+                else:
+                    lines.append(" ".join(current_line))
+                    current_line = [res["text"]]
+            else:
+                current_line = [res["text"]]
+            prev_center_y = center_y
+            prev_height = h
+        if current_line:
+            lines.append(" ".join(current_line))
+        return "\n".join(lines), results
