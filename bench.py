@@ -1,0 +1,106 @@
+"""Kiri-TPU benchmark: lines/sec/chip on the synthetic line-OCR workload.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference (kiri-ocr PyTorch, CTC 'fast' decode) averages
+1606.8 ms per line on its own published benchmark (BASELINE.md; SURVEY §6)
+=> 0.6224 lines/sec. vs_baseline = our lines/sec / 0.6224.
+
+The workload mirrors the reference harness (benchmark/run_benchmark.py):
+synthetic single text lines rendered at model resolution, recognized with
+the fast CTC path. Here recognition runs as batched compiled dispatches on
+one chip; the model is the flagship architecture (ENC_DIM=256, 4+3 layers —
+same compute as the reference's ~10M-param model).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+REFERENCE_LINES_PER_SEC = 1000.0 / 1606.8  # SURVEY §6 published avg latency
+
+N_LINES = 512
+BATCH = 128
+
+
+def main() -> None:
+    import jax
+
+    from __graft_entry__ import _flagship
+    from kiri_tpu.data.synth import DatasetGenerator
+    from kiri_tpu.engine import RecognizerEngine
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="kiri_bench_")
+    cfg, tok, variables = _flagship(tmp)
+
+    # Try a trained checkpoint if present (models/model.safetensors); the
+    # throughput measurement is identical either way.
+    ckpt = REPO / "models" / "model.safetensors"
+    if ckpt.exists():
+        try:
+            from kiri_tpu.pipeline import OCR
+
+            ocr = OCR(str(ckpt))
+            cfg, tok = ocr.cfg, ocr.tokenizer
+            engine = ocr.engine
+        except Exception:
+            engine = RecognizerEngine(variables, cfg, tok)
+    else:
+        engine = RecognizerEngine(variables, cfg, tok)
+
+    # Synthetic text lines at model resolution (charset = model vocab).
+    gen = DatasetGenerator(tmp, height=cfg.IMG_H, augment=False)
+    charset = "".join(t for t in tok.token_to_id if len(t) == 1)
+    from kiri_tpu.data.synth import sample_text
+    from kiri_tpu.ops.preprocess import resize_keep_ratio_pad_np
+
+    rng_texts = [sample_text(gen.rng, 2, 8, charset) for _ in range(N_LINES)]
+    samples = gen.generate_samples(N_LINES, texts=rng_texts)
+    imgs = np.stack([
+        resize_keep_ratio_pad_np(s["image"], cfg.IMG_H, cfg.IMG_W)
+        for s in samples])
+
+    # Warmup / compile.
+    engine.recognize_batch(imgs[:BATCH], "ctc")
+    jax.block_until_ready(jax.numpy.zeros(()))
+
+    t0 = time.perf_counter()
+    n_done = 0
+    for i in range(0, len(imgs), BATCH):
+        out = engine.recognize_batch(imgs[i: i + BATCH], "ctc")
+        n_done += len(out)
+    dt = time.perf_counter() - t0
+    lines_per_sec = n_done / dt
+
+    # p50 single-line latency (the interactive metric).
+    lat = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        engine.recognize_batch(imgs[i: i + 1], "ctc")
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1000)
+
+    result = {
+        "metric": "lines/sec/chip (CTC fast decode, batched)",
+        "value": round(lines_per_sec, 2),
+        "unit": "lines/s",
+        "vs_baseline": round(lines_per_sec / REFERENCE_LINES_PER_SEC, 2),
+        "p50_line_latency_ms": round(p50_ms, 2),
+        "n_lines": n_done,
+        "batch": BATCH,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Dataset adapters: local labels.txt directories and HuggingFace datasets.
+
+Format parity with the reference loaders (kiri_ocr/training.py:105-289):
+
+* local: ``labels.txt`` rows ``<img_name>\\t<text>``, images resolved against
+  ``<dir>/images/`` then ``<dir>/``.
+* HF: any dataset with image/text columns (configurable names), auto val
+  split with seed 42 when no validation split exists.
+
+Samples are dicts {"image": uint8 [H, W'] variable width, "text": str}; the
+trainer's collate handles resize-to-48x640, gray-128 padding and the ±25%
+width augmentation (kiri_ocr/training.py:144-153).
+"""
+from __future__ import annotations
+
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..ops.preprocess import resize_keep_ratio_pad_np
+
+
+class LineSampleSet:
+    """Lazy list-like sample source with on-access preprocessing.
+
+    Each item is {"image": uint8 [IMG_H, IMG_W], "text": str}; augmentation
+    (random width stretch ±25%) is applied when ``augment=True``.
+    """
+
+    def __init__(self, records: Sequence[Tuple[object, str]], img_h: int = 48,
+                 img_w: int = 640, augment: bool = False, seed: int = 42):
+        self.records = list(records)
+        self.img_h = img_h
+        self.img_w = img_w
+        self.augment = augment
+        self.rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def _load_gray(self, src) -> Optional[np.ndarray]:
+        try:
+            if isinstance(src, np.ndarray):
+                img = src
+                if img.ndim == 3:
+                    img = np.asarray(Image.fromarray(img).convert("L"))
+                return img.astype(np.uint8)
+            if isinstance(src, Image.Image):
+                return np.asarray(src.convert("L"), dtype=np.uint8)
+            return np.asarray(Image.open(src).convert("L"), dtype=np.uint8)
+        except Exception as e:  # dummy sample on I/O error (reference:
+            # kiri_ocr/training.py:200-209)
+            print(f"Error loading sample: {e}")
+            return None
+
+    def __getitem__(self, idx: int) -> Dict[str, object]:
+        src, text = self.records[idx]
+        img = self._load_gray(src)
+        if img is None:
+            return {"image": np.zeros((self.img_h, self.img_w), np.uint8),
+                    "text": ""}
+        if self.augment and img.shape[1] > 2:
+            scale = self.rng.uniform(0.75, 1.25)
+            new_w = max(1, int(img.shape[1] * scale))
+            img = np.asarray(
+                Image.fromarray(img).resize((new_w, img.shape[0]),
+                                            Image.BILINEAR), dtype=np.uint8)
+        return {"image": resize_keep_ratio_pad_np(img, self.img_h, self.img_w),
+                "text": text}
+
+
+def load_local_dataset(labels_file, img_h: int = 48, img_w: int = 640,
+                       augment: bool = False) -> LineSampleSet:
+    """labels.txt loader (reference: kiri_ocr/training.py:212-249)."""
+    labels_path = Path(labels_file)
+    img_dirs = [labels_path.parent / "images", labels_path.parent]
+    records: List[Tuple[object, str]] = []
+    with open(labels_path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2:
+                continue
+            name, text = parts[0], parts[1]
+            for d in img_dirs:
+                p = d / name
+                if p.exists():
+                    records.append((str(p), text))
+                    break
+    return LineSampleSet(records, img_h, img_w, augment)
+
+
+def load_hf_dataset(names: Sequence[str], image_col: str = "image",
+                    text_col: str = "text", img_h: int = 48, img_w: int = 640,
+                    augment: bool = False, val_ratio: float = 0.05,
+                    seed: int = 42) -> Tuple[LineSampleSet, LineSampleSet]:
+    """Load + concat HF datasets; auto train/val split with seed 42 when no
+    validation split exists (reference: kiri_ocr/training.py:369-438)."""
+    from datasets import concatenate_datasets, load_dataset
+
+    trains, vals = [], []
+    for name in names:
+        ds = load_dataset(name)
+        if "validation" in ds:
+            trains.append(ds["train"])
+            vals.append(ds["validation"])
+        elif "test" in ds:
+            trains.append(ds["train"])
+            vals.append(ds["test"])
+        else:
+            split = ds["train"].train_test_split(test_size=val_ratio, seed=seed)
+            trains.append(split["train"])
+            vals.append(split["test"])
+    train_ds = concatenate_datasets(trains) if len(trains) > 1 else trains[0]
+    val_ds = concatenate_datasets(vals) if len(vals) > 1 else vals[0]
+
+    def to_records(ds):
+        return _HFRecords(ds, image_col, text_col)
+
+    return (LineSampleSet(to_records(train_ds), img_h, img_w, augment, seed),
+            LineSampleSet(to_records(val_ds), img_h, img_w, False, seed))
+
+
+class _HFRecords:
+    """Adapter presenting an HF dataset as a sequence of (image, text)."""
+
+    def __init__(self, ds, image_col: str, text_col: str):
+        self.ds = ds
+        self.image_col = image_col
+        self.text_col = text_col
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return [self[i] for i in range(*idx.indices(len(self)))]
+        item = self.ds[int(idx)]
+        return (item[self.image_col], item[self.text_col])
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]

@@ -1,0 +1,295 @@
+"""Synthetic text-line image generation for recognizer training & benchmarks.
+
+Capability parity with the reference generator (kiri_ocr/generator.py:18-537):
+font pools with per-script routing and tofu-glyph detection, randomized font
+sizes, photometric/geometric augmentation (noise, blur, morphology,
+brightness), labels.txt output with resume/append, and a multilingual text
+sampler. The implementation is new: augmentations are vectorized numpy (the
+reference loops per-pixel via PIL filters), and rendering targets the exact
+uint8 [H, W] tensors the TPU pipeline consumes.
+"""
+from __future__ import annotations
+
+import json
+import random
+import string
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+_FONT_DIRS = [
+    "/usr/share/fonts/truetype",
+    "/usr/share/fonts",
+    "/usr/local/share/fonts",
+]
+_KHMER_RANGE = (0x1780, 0x17FF)
+
+
+def _is_khmer(text: str) -> bool:
+    return any(_KHMER_RANGE[0] <= ord(c) <= _KHMER_RANGE[1] for c in text)
+
+
+class FontManager:
+    """Discovers system fonts and routes text to fonts that can render it.
+
+    Mirrors the reference FontManager's tofu detection
+    (kiri_ocr/generator.py:118-164): a font is accepted for a script only if
+    rendering a probe string produces non-blank, distinct glyphs.
+    """
+
+    def __init__(self, font_dirs: Optional[Sequence[str]] = None,
+                 sizes: Sequence[int] = (24, 28, 32, 36, 40, 44)):
+        self.sizes = list(sizes)
+        self.font_paths = self._discover(font_dirs or _FONT_DIRS)
+        self._cache: Dict[Tuple[str, int], ImageFont.FreeTypeFont] = {}
+        self.english_fonts = [p for p in self.font_paths
+                              if self._supports(p, "Ag1")]
+        self.khmer_fonts = [p for p in self.font_paths
+                            if self._supports(p, "កខ")]
+
+    @staticmethod
+    def _discover(dirs: Sequence[str]) -> List[str]:
+        out = []
+        for d in dirs:
+            p = Path(d)
+            if p.exists():
+                out.extend(str(f) for f in p.rglob("*.ttf"))
+                out.extend(str(f) for f in p.rglob("*.otf"))
+        return sorted(set(out))
+
+    def get(self, path: str, size: int) -> ImageFont.FreeTypeFont:
+        key = (path, size)
+        if key not in self._cache:
+            self._cache[key] = ImageFont.truetype(path, size)
+        return self._cache[key]
+
+    def _supports(self, path: str, probe: str) -> bool:
+        """Tofu check: each probe char must render non-blank and differ from
+        the .notdef box (detected as identical renders for distinct chars)."""
+        try:
+            font = self.get(path, 32)
+        except Exception:
+            return False
+        renders = []
+        for ch in probe:
+            img = Image.new("L", (64, 64), 0)
+            ImageDraw.Draw(img).text((4, 4), ch, fill=255, font=font)
+            arr = np.asarray(img)
+            if arr.max() == 0:  # blank -> unsupported
+                return False
+            renders.append(arr)
+        for i in range(len(renders) - 1):
+            if np.array_equal(renders[i], renders[i + 1]):
+                return False  # same tofu box for different chars
+        return True
+
+    def pick(self, text: str, rng: random.Random) -> Optional[Tuple[str, int]]:
+        pool = self.khmer_fonts if _is_khmer(text) else self.english_fonts
+        if not pool:
+            pool = self.font_paths
+        if not pool:
+            return None
+        return rng.choice(pool), rng.choice(self.sizes)
+
+
+class ImageRenderer:
+    """Renders one text line to a uint8 grayscale image with augmentation."""
+
+    def __init__(self, height: int = 48, pad: int = 8, augment: bool = True):
+        self.height = height
+        self.pad = pad
+        self.augment = augment
+
+    def render(self, text: str, font: ImageFont.FreeTypeFont,
+               rng: random.Random) -> np.ndarray:
+        bbox = font.getbbox(text)
+        tw = max(1, bbox[2] - bbox[0])
+        th = max(1, bbox[3] - bbox[1])
+        w = tw + 2 * self.pad
+        h = th + 2 * self.pad
+        bg = rng.randint(235, 255) if self.augment else 255
+        fg = rng.randint(0, 40) if self.augment else 0
+        img = Image.new("L", (w, h), bg)
+        ImageDraw.Draw(img).text((self.pad - bbox[0], self.pad - bbox[1]),
+                                 text, fill=fg, font=font)
+        arr = np.asarray(img, dtype=np.uint8)
+        if self.augment:
+            arr = self._augment(arr, rng)
+        # Scale to target height keeping aspect.
+        scale = self.height / arr.shape[0]
+        nw = max(1, int(round(arr.shape[1] * scale)))
+        if _HAS_CV2:
+            arr = cv2.resize(arr, (nw, self.height),
+                             interpolation=cv2.INTER_AREA if scale < 1 else cv2.INTER_LINEAR)
+        else:
+            arr = np.asarray(Image.fromarray(arr).resize((nw, self.height),
+                                                         Image.BILINEAR))
+        return arr
+
+    def _augment(self, arr: np.ndarray, rng: random.Random) -> np.ndarray:
+        """Vectorized photometric augmentation (reference:
+        kiri_ocr/generator.py:239-276 does the same families via PIL)."""
+        nprng = np.random.default_rng(rng.getrandbits(32))
+        # Gaussian noise
+        if rng.random() < 0.5:
+            sigma = rng.uniform(2, 10)
+            arr = np.clip(arr.astype(np.float32)
+                          + nprng.normal(0, sigma, arr.shape), 0, 255)
+            arr = arr.astype(np.uint8)
+        # Blur
+        if _HAS_CV2 and rng.random() < 0.3:
+            k = rng.choice([3, 5])
+            arr = cv2.GaussianBlur(arr, (k, k), 0)
+        # Morphology (stroke weight jitter)
+        if _HAS_CV2 and rng.random() < 0.2:
+            kernel = np.ones((2, 2), np.uint8)
+            if rng.random() < 0.5:
+                arr = cv2.erode(arr, kernel, iterations=1)
+            else:
+                arr = cv2.dilate(arr, kernel, iterations=1)
+        # Brightness / contrast
+        if rng.random() < 0.4:
+            alpha = rng.uniform(0.85, 1.15)
+            beta = rng.uniform(-15, 15)
+            arr = np.clip(arr.astype(np.float32) * alpha + beta, 0, 255)
+            arr = arr.astype(np.uint8)
+        return arr
+
+
+_EN_WORDS = ("the quick brown fox jumps over lazy dog a and to of in is it "
+             "you that he was for on are with as his they be at one have "
+             "this from or had by hot word but what some we can out other "
+             "were all there when up use your how said an each she").split()
+
+
+def sample_text(rng: random.Random, min_words: int = 1, max_words: int = 8,
+                charset: Optional[str] = None) -> str:
+    """Random English-ish line; mixes words, digits and punctuation."""
+    n = rng.randint(min_words, max_words)
+    words = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.75:
+            w = rng.choice(_EN_WORDS)
+            if rng.random() < 0.2:
+                w = w.capitalize()
+        elif r < 0.9:
+            w = "".join(rng.choice(string.digits)
+                        for _ in range(rng.randint(1, 5)))
+        else:
+            w = rng.choice(_EN_WORDS) + rng.choice(".,!?:;")
+        words.append(w)
+    text = " ".join(words)
+    if charset is not None:
+        text = "".join(c for c in text if c in charset) or "a"
+    return text
+
+
+class DatasetGenerator:
+    """Generates (image, label) pairs to an output directory with labels.txt.
+
+    Resume semantics match the reference (kiri_ocr/generator.py:424-454):
+    append mode re-scans the existing labels file and continues numbering.
+    """
+
+    def __init__(self, output_dir: str, height: int = 48, augment: bool = True,
+                 fonts: Optional[FontManager] = None, seed: int = 42):
+        self.out = Path(output_dir)
+        (self.out / "images").mkdir(parents=True, exist_ok=True)
+        self.fonts = fonts or FontManager()
+        self.renderer = ImageRenderer(height=height, augment=augment)
+        self.rng = random.Random(seed)
+
+    def generate_dataset(self, num_samples: int,
+                         texts: Optional[Sequence[str]] = None,
+                         append: bool = False) -> str:
+        labels_path = self.out / "labels.txt"
+        existing = 0
+        mode = "w"
+        if append and labels_path.exists():
+            existing = sum(1 for _ in labels_path.open(encoding="utf-8"))
+            mode = "a"
+        with labels_path.open(mode, encoding="utf-8") as f:
+            for i in range(num_samples):
+                text = (texts[i % len(texts)] if texts
+                        else sample_text(self.rng))
+                sample = self.generate_one(text)
+                if sample is None:
+                    continue
+                name = f"img_{existing + i:06d}.png"
+                Image.fromarray(sample).save(self.out / "images" / name)
+                f.write(f"{name}\t{text}\n")
+        return str(labels_path)
+
+    def generate_one(self, text: str) -> Optional[np.ndarray]:
+        picked = self.fonts.pick(text, self.rng)
+        if picked is None:
+            return None
+        path, size = picked
+        try:
+            font = self.fonts.get(path, size)
+            return self.renderer.render(text, font, self.rng)
+        except Exception:
+            return None
+
+    def generate_samples(self, num_samples: int,
+                         texts: Optional[Sequence[str]] = None
+                         ) -> List[Dict[str, object]]:
+        """In-memory samples for the Trainer: [{image u8 [H,W'], text}]."""
+        out = []
+        for i in range(num_samples):
+            text = texts[i % len(texts)] if texts else sample_text(self.rng)
+            img = self.generate_one(text)
+            if img is not None:
+                out.append({"image": img, "text": text})
+        return out
+
+
+class MultilingualDatasetGenerator(DatasetGenerator):
+    """Khmer + English mix (reference: kiri_ocr/generator.py:510-537).
+
+    Khmer lines are only produced when a Khmer-capable font exists on the
+    host; otherwise output degrades to English-only with a warning.
+    """
+
+    def __init__(self, *args, khmer_ratio: float = 0.5, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.khmer_ratio = khmer_ratio if self.fonts.khmer_fonts else 0.0
+        if khmer_ratio > 0 and not self.fonts.khmer_fonts:
+            print("⚠ No Khmer-capable fonts found; generating English only.")
+
+    _KHMER_CONS = [chr(c) for c in range(0x1780, 0x17A3)]
+    _KHMER_VOWELS = [chr(c) for c in range(0x17B6, 0x17C6)]
+
+    def _sample_khmer(self) -> str:
+        words = []
+        for _ in range(self.rng.randint(1, 6)):
+            n = self.rng.randint(2, 7)
+            chars = []
+            for _ in range(n):
+                chars.append(self.rng.choice(self._KHMER_CONS))
+                if self.rng.random() < 0.5:
+                    chars.append(self.rng.choice(self._KHMER_VOWELS))
+            words.append("".join(chars))
+        return " ".join(words)
+
+    def generate_samples(self, num_samples: int, texts=None):
+        out = []
+        for _ in range(num_samples):
+            if self.rng.random() < self.khmer_ratio:
+                text = self._sample_khmer()
+            else:
+                text = sample_text(self.rng)
+            img = self.generate_one(text)
+            if img is not None:
+                out.append({"image": img, "text": text})
+        return out

@@ -75,14 +75,14 @@ class RecognizerEngine:
             texts.append(self.tok.decode_dec(ids))
         return texts, np.asarray(out.final_conf)[:n], np.asarray(out.dec_conf)[:n]
 
-    def _step_cap(self, est_len: np.ndarray, n: int) -> int:
+    def _step_cap(self, est_len: np.ndarray, n: int, mem_len: int) -> int:
         tl = np.asarray(est_len)[:n]
         ms = np.where(
             tl > 0,
             np.minimum(self.cfg.MAX_DEC_LEN,
                        (tl * self.cfg.DEC_MAX_LEN_RATIO).astype(np.int64)
                        + self.cfg.DEC_MAX_LEN_PAD),
-            min(self.cfg.MAX_DEC_LEN, int(160 * self.cfg.MEM_MAX_LEN_RATIO)
+            min(self.cfg.MAX_DEC_LEN, int(mem_len * self.cfg.MEM_MAX_LEN_RATIO)
                 + self.cfg.DEC_MAX_LEN_PAD))
         return D.pick_l_cap(self.cfg, int(ms.max(initial=1)))
 
@@ -100,7 +100,7 @@ class RecognizerEngine:
             return list(zip(texts, confs.astype(float)))
 
         k = 1 if method == "decoder" else self.cfg.BEAM
-        l_cap = self._step_cap(est, n)
+        l_cap = self._step_cap(est, n, memp.shape[1])
         tl = jnp.asarray(np.where(np.asarray(est) > 0, np.asarray(est), 0), jnp.int32)
         out = D.beam_search(
             self.variables, memp, ctc, tl, conf, cfg=self.cfg, k_beam=k,
@@ -121,7 +121,7 @@ class RecognizerEngine:
             yield from self._stream_ctc(np.asarray(ids)[0], ctc)
             return
 
-        l_cap = self._step_cap(est, 1)
+        l_cap = self._step_cap(est, 1, memp.shape[1])
         tl = jnp.asarray(np.asarray(est), jnp.int32)
         if method == "decoder":
             out = D.greedy_decode(
