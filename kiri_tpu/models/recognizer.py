@@ -147,11 +147,13 @@ def stem_forward(params: Params, stats: Params, x: jnp.ndarray, cfg,
     new_stats = {}
     for i, stride in enumerate(_STEM_STRIDES):
         w = params[f"conv{i}"]["w"].astype(x.dtype)
+        # No preferred_element_type here: conv VJP rejects mixed-dtype
+        # (bf16 input, f32 cotangent) operands; XLA already accumulates
+        # bf16 convs in f32 on the MXU.
         x = jax.lax.conv_general_dilated(
             x, w, window_strides=stride, padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
         x, ns = _bn(params[f"bn{i}"], stats[f"bn{i}"], x, train)
         if ns is not None:
             new_stats[f"bn{i}"] = ns

@@ -170,7 +170,10 @@ def ctc_loss(logits: jnp.ndarray, logit_lens: jnp.ndarray, labels: jnp.ndarray,
     nll = -ll
     # zero_infinity=True semantics: infeasible alignments contribute 0.
     nll = jnp.where(jnp.isfinite(ll) & (ll > NEG_INF / 2), nll, 0.0)
-    # Skip empty-target rows (reference masks them, training.py:758-777).
+    # torch reduction='mean': per-sample loss divided by its target length,
+    # then averaged. Empty-target rows are masked out entirely (the reference
+    # filters them before calling CTCLoss, training.py:758-777).
+    nll = nll / jnp.maximum(1, label_lens)
     nll = jnp.where(label_lens > 0, nll, 0.0)
     denom = jnp.maximum(1, jnp.sum(label_lens > 0))
     return jnp.sum(nll) / denom

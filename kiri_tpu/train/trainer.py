@@ -167,14 +167,26 @@ def make_eval_step(cfg: CFG):
 # Host-side batching
 # ---------------------------------------------------------------------------
 def collate(samples: List[Dict[str, Any]], tok: CharTokenizer,
-            max_seq_len: int = 512) -> Dict[str, np.ndarray]:
+            max_seq_len: int = 512,
+            img_hw: Optional[Tuple[int, int]] = None) -> Dict[str, np.ndarray]:
     """List of {image u8 [H,W], text} -> fixed-shape numpy batch.
 
     Truncates decoder targets at max_seq_len (reference collate,
     kiri_ocr/training.py:296-352). dec_inp is the bos-shifted input row,
-    dec_tgt the eos-terminated target row (pad=0 everywhere).
+    dec_tgt the eos-terminated target row (pad=0 everywhere). Variable-size
+    images are resize-padded to ``img_hw`` (or to the first image's shape).
     """
-    images = np.stack([s["image"] for s in samples]).astype(np.uint8)
+    from ..ops.preprocess import resize_keep_ratio_pad_np
+
+    imgs = [np.asarray(s["image"], dtype=np.uint8) for s in samples]
+    if img_hw is None:
+        shapes = {im.shape for im in imgs}
+        img_hw = imgs[0].shape if len(shapes) == 1 else (
+            max(im.shape[0] for im in imgs), max(im.shape[1] for im in imgs))
+    imgs = [im if im.shape == tuple(img_hw)
+            else resize_keep_ratio_pad_np(im, img_hw[0], img_hw[1])
+            for im in imgs]
+    images = np.stack(imgs)
     texts = [s["text"] for s in samples]
     enc_ctc = [tok.encode_ctc(t)[: max_seq_len - 1] for t in texts]
     enc_dec = [tok.encode_dec(t)[: max_seq_len] for t in texts]
@@ -326,7 +338,7 @@ def train_loop(cfg: CFG, tok: CharTokenizer, tc: TrainConfig,
     val_batches = []
     for i in range(0, len(val_samples), tc.batch_size):
         chunk = val_samples[i: i + tc.batch_size]
-        vb = collate(chunk, tok, tc.max_seq_len)
+        vb = collate(chunk, tok, tc.max_seq_len, img_hw=(cfg.IMG_H, cfg.IMG_W))
         vb["text"] = [s["text"] for s in chunk]
         val_batches.append(vb)
 
@@ -340,7 +352,7 @@ def train_loop(cfg: CFG, tok: CharTokenizer, tc: TrainConfig,
         for bi in range(steps_per_epoch):
             idx = order[bi * tc.batch_size: (bi + 1) * tc.batch_size]
             batch = collate([train_samples[int(i)] for i in idx], tok,
-                            tc.max_seq_len)
+                            tc.max_seq_len, img_hw=(cfg.IMG_H, cfg.IMG_W))
             m = trainer.run_step(batch)
             n_steps += 1
             for k, v in m.items():

@@ -1,0 +1,81 @@
+"""RecognizerEngine: batched recognition paths and streaming contracts."""
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from kiri_tpu.config import CFG
+from kiri_tpu.engine import RecognizerEngine
+from kiri_tpu.models import recognizer as R
+from kiri_tpu.tokenizer import CharTokenizer
+
+CFG_TINY = CFG(ENC_DIM=32, ENC_LAYERS=1, ENC_FF=64, ENC_HEADS=4,
+               DEC_DIM=32, DEC_LAYERS=1, DEC_FF=64, DEC_HEADS=4,
+               IMG_H=48, IMG_W=160, COMPUTE_DTYPE="float32",
+               BATCH_BUCKETS=(1, 2, 4, 8), STEP_BUCKETS=(16, 32, 64))
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("engine")
+    vocab = {"<unk>": 0}
+    for i, ch in enumerate("abcde "):
+        vocab[ch] = i + 1
+    vp = tmp / "vocab.json"
+    vp.write_text(json.dumps(vocab))
+    tok = CharTokenizer(str(vp), CFG_TINY)
+    variables = R.init_recognizer(jax.random.PRNGKey(0), CFG_TINY, tok)
+    return RecognizerEngine(variables, CFG_TINY, tok)
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    return np.random.default_rng(0).integers(
+        0, 255, (3, 48, 160), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("method", ["ctc", "decoder", "beam"])
+def test_recognize_batch_shapes(engine, imgs, method):
+    out = engine.recognize_batch(imgs, method)
+    assert len(out) == 3
+    for text, conf in out:
+        assert isinstance(text, str)
+        assert 0.0 <= conf <= 1.0
+
+
+def test_empty_batch(engine):
+    assert engine.recognize_batch(
+        np.zeros((0, 48, 160), np.uint8), "ctc") == []
+
+
+def test_batch_padding_invariance(engine, imgs):
+    """Same image alone vs inside a padded batch must decode identically."""
+    solo = engine.recognize_batch(imgs[:1], "beam")
+    batch = engine.recognize_batch(imgs, "beam")
+    assert solo[0][0] == batch[0][0]
+    assert abs(solo[0][1] - batch[0][1]) < 1e-3
+
+
+def test_identical_rows_identical_results(engine, imgs):
+    rep = np.repeat(imgs[:1], 3, axis=0)
+    out = engine.recognize_batch(rep, "decoder")
+    assert out[0][0] == out[1][0] == out[2][0]
+
+
+@pytest.mark.parametrize("method", ["ctc", "decoder", "beam"])
+def test_stream_schema(engine, imgs, method):
+    recs = list(engine.stream_records(imgs[0], method))
+    assert recs, "stream yielded nothing"
+    for r in recs:
+        assert set(r) >= {"token", "text", "confidence", "step", "finished"}
+    assert recs[-1]["finished"] or len(recs) > 0
+    # text is cumulative: each record's text extends or equals the previous
+    for a, b in zip(recs, recs[1:]):
+        assert b["text"].startswith(a["text"]) or method == "beam"
+
+
+def test_stream_final_text_matches_batch(engine, imgs):
+    batch_text = engine.recognize_batch(imgs[:1], "ctc")[0][0]
+    recs = list(engine.stream_records(imgs[0], "ctc"))
+    assert recs[-1]["text"] == batch_text

@@ -1,0 +1,92 @@
+"""Trainer: loss decreases (tiny overfit), collate shapes, resume."""
+import json
+
+import numpy as np
+import pytest
+
+from kiri_tpu.config import CFG
+from kiri_tpu.tokenizer import CharTokenizer
+from kiri_tpu.train.trainer import (TrainConfig, Trainer, collate,
+                                    train_loop)
+
+CFG_TINY = CFG(ENC_DIM=32, ENC_LAYERS=1, ENC_FF=64, ENC_HEADS=4,
+               DEC_DIM=32, DEC_LAYERS=1, DEC_FF=64, DEC_HEADS=4,
+               IMG_H=48, IMG_W=160, COMPUTE_DTYPE="float32", DROPOUT=0.0)
+
+
+@pytest.fixture(scope="module")
+def tok(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("trainer")
+    vocab = {"<unk>": 0}
+    for i, ch in enumerate("abcde "):
+        vocab[ch] = i + 1
+    vp = tmp / "vocab.json"
+    vp.write_text(json.dumps(vocab))
+    return CharTokenizer(str(vp), CFG_TINY)
+
+
+def _samples(n=8):
+    rng = np.random.default_rng(0)
+    return [{"image": rng.integers(0, 255, (48, 160), np.uint8),
+             "text": "ab cde"} for _ in range(n)]
+
+
+def test_collate_shapes(tok):
+    batch = collate(_samples(4), tok)
+    assert batch["image"].shape == (4, 48, 160)
+    assert batch["image"].dtype == np.uint8
+    assert batch["ctc_target"].shape[0] == 4
+    assert batch["ctc_len"].tolist() == [6] * 4
+    assert batch["dec_inp"].shape == batch["dec_tgt"].shape
+    # dec_inp starts with bos; dec_tgt ends with eos.
+    assert (batch["dec_inp"][:, 0] == tok.dec_bos).all()
+    assert (batch["dec_tgt"][:, -1] == tok.dec_eos).all()
+    # shifted relationship
+    np.testing.assert_array_equal(batch["dec_inp"][:, 1:],
+                                  batch["dec_tgt"][:, :-1])
+
+
+def test_collate_truncation(tok):
+    long = [{"image": np.zeros((48, 160), np.uint8), "text": "ab" * 400}]
+    batch = collate(long, tok, max_seq_len=16)
+    assert batch["dec_inp"].shape[1] <= 16
+    assert batch["ctc_target"].shape[1] <= 15
+
+
+def test_loss_decreases_overfit(tok):
+    tc = TrainConfig(epochs=1, batch_size=8, lr=3e-3, warmup_steps=2,
+                     log_every=0)
+    trainer = Trainer(CFG_TINY, tok, tc, total_steps=30, use_mesh=False)
+    batch = collate(_samples(8), tok)
+    losses = [trainer.run_step(batch)["loss"] for _ in range(30)]
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+    assert np.isfinite(losses).all()
+
+
+def test_train_loop_checkpoints_and_resume(tok, tmp_path):
+    tc = TrainConfig(epochs=2, batch_size=4, out_dir=str(tmp_path / "ckpt"),
+                     log_every=0)
+    samples = _samples(8)
+    trainer = train_loop(CFG_TINY, tok, tc, samples, samples[:4],
+                         verbose=False)
+    out = tmp_path / "ckpt"
+    assert (out / "latest.safetensors").exists()
+    assert (out / "model_epoch_2.safetensors").exists()
+    assert (out / "history.json").exists()
+    hist = json.loads((out / "history.json").read_text())
+    assert len(hist) == 2
+
+    # Resume restores epoch/step counters.
+    t2 = Trainer(CFG_TINY, tok, tc, total_steps=10, use_mesh=False)
+    assert t2.resume(out / "latest.safetensors")
+    assert t2.epoch == 2
+    assert t2.step == trainer.step
+
+
+def test_validate_exact_match(tok):
+    tc = TrainConfig(epochs=1, batch_size=4, log_every=0)
+    trainer = Trainer(CFG_TINY, tok, tc, total_steps=5, use_mesh=False)
+    batch = collate(_samples(4), tok)
+    batch["text"] = ["ab cde"] * 4
+    acc = trainer.validate([batch])
+    assert 0.0 <= acc <= 1.0
