@@ -1,0 +1,287 @@
+"""Synthetic multi-line document generation with detection ground truth.
+
+Capability parity with the reference detector-data generator
+(kiri_ocr/detector/craft/dataset.py:16-758): multi-line document images in
+several layouts with per-line and per-character boxes, plus Gaussian
+region/affinity maps for CRAFT training and shrunk-polygon probability /
+threshold-band maps for DB training. GT map rasterization is vectorized
+numpy over box-local windows — the reference loops per pixel in Python
+(craft/dataset.py:154-223).
+"""
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from .synth import FontManager, sample_text
+
+LAYOUTS = ("single_column", "two_column", "title_paragraph", "sparse",
+           "dense", "mixed_sizes")
+_LAYOUT_WEIGHTS = (0.3, 0.15, 0.2, 0.1, 0.15, 0.1)
+
+
+class DocumentGenerator:
+    """Renders synthetic documents and their detection ground truth."""
+
+    def __init__(self, width: int = 640, height: int = 640,
+                 fonts: Optional[FontManager] = None, seed: int = 42,
+                 augment: bool = True):
+        self.width = width
+        self.height = height
+        self.fonts = fonts or FontManager(sizes=(18, 22, 26, 30, 34))
+        self.rng = random.Random(seed)
+        self.augment = augment
+
+    # ------------------------------------------------------------ rendering
+    def generate(self) -> Dict[str, object]:
+        """One document: {image u8 [H,W], lines: [(x,y,w,h)], texts: [str],
+        chars: [[(x,y,w,h) per char] per line], layout: str}."""
+        layout = self.rng.choices(LAYOUTS, weights=_LAYOUT_WEIGHTS)[0]
+        bg = self.rng.randint(240, 255) if self.augment else 255
+        img = Image.new("L", (self.width, self.height), bg)
+        draw = ImageDraw.Draw(img)
+        lines: List[Tuple[int, int, int, int]] = []
+        texts: List[str] = []
+        chars: List[List[Tuple[int, int, int, int]]] = []
+
+        regions = self._layout_regions(layout)
+        for (rx, ry, rw, rh, size) in regions:
+            y = ry
+            while y + size * 2 < ry + rh:
+                text = sample_text(self.rng, 2, max(2, rw // (size)))
+                ok = self._draw_line(draw, text, rx, y, rw, size,
+                                     lines, texts, chars)
+                y += int(size * self.rng.uniform(1.6, 2.4))
+                if not ok:
+                    continue
+        arr = np.asarray(img, dtype=np.uint8)
+        if self.augment:
+            arr = self._augment(arr)
+        return {"image": arr, "lines": lines, "texts": texts,
+                "chars": chars, "layout": layout}
+
+    def _layout_regions(self, layout: str):
+        """Text regions (x, y, w, h, font_size) per layout."""
+        W, H = self.width, self.height
+        m = self.rng.randint(20, 50)
+        size = self.rng.choice(self.fonts.sizes)
+        if layout == "single_column":
+            return [(m, m, W - 2 * m, H - 2 * m, size)]
+        if layout == "two_column":
+            cw = (W - 3 * m) // 2
+            return [(m, m, cw, H - 2 * m, size),
+                    (2 * m + cw, m, cw, H - 2 * m, size)]
+        if layout == "title_paragraph":
+            title = max(self.fonts.sizes)
+            return [(m, m, W - 2 * m, title * 3, title + 6),
+                    (m, m + title * 3 + 20, W - 2 * m,
+                     H - 2 * m - title * 3 - 20, size)]
+        if layout == "sparse":
+            return [(m, self.rng.randint(m, H // 2), W - 2 * m,
+                     H // 3, size)]
+        if layout == "dense":
+            small = min(self.fonts.sizes)
+            return [(m, m, W - 2 * m, H - 2 * m, small)]
+        # mixed_sizes
+        h1 = (H - 3 * m) // 2
+        return [(m, m, W - 2 * m, h1, max(self.fonts.sizes)),
+                (m, 2 * m + h1, W - 2 * m, h1, min(self.fonts.sizes))]
+
+    def _draw_line(self, draw, text, x, y, max_w, size,
+                   lines, texts, chars) -> bool:
+        picked = self.fonts.pick(text, self.rng)
+        if picked is None:
+            return False
+        path, _ = picked
+        try:
+            font = self.fonts.get(path, size)
+        except Exception:
+            return False
+        # Trim text to fit the region width.
+        while text and font.getbbox(text)[2] > max_w:
+            cut = text.rfind(" ")
+            text = text[:cut] if cut > 0 else text[:-1]
+        if not text.strip():
+            return False
+        bbox = font.getbbox(text)
+        fg = self.rng.randint(0, 50) if self.augment else 0
+        draw.text((x - bbox[0], y - bbox[1]), text, fill=fg, font=font)
+        w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        lines.append((x, y, w, h))
+        texts.append(text)
+        # Per-character boxes via incremental advance widths.
+        cboxes = []
+        for i, ch in enumerate(text):
+            if ch == " ":
+                continue
+            pre = font.getbbox(text[:i]) if i else (0, 0, 0, 0)
+            cur = font.getbbox(text[: i + 1])
+            cb = font.getbbox(ch)
+            cx = x + pre[2] - bbox[0]
+            cw = max(1, cur[2] - pre[2])
+            cy = y + cb[1] - bbox[1]
+            chh = max(1, cb[3] - cb[1])
+            cboxes.append((cx, cy, cw, chh))
+        chars.append(cboxes)
+        return True
+
+    def _augment(self, arr: np.ndarray) -> np.ndarray:
+        nprng = np.random.default_rng(self.rng.getrandbits(32))
+        if self.rng.random() < 0.5:
+            arr = np.clip(arr.astype(np.float32)
+                          + nprng.normal(0, self.rng.uniform(2, 8), arr.shape),
+                          0, 255).astype(np.uint8)
+        return arr
+
+
+# ---------------------------------------------------------------------------
+# DB ground truth: shrunk probability mask + threshold border band
+# ---------------------------------------------------------------------------
+def db_ground_truth(shape: Tuple[int, int],
+                    boxes: Sequence[Tuple[int, int, int, int]],
+                    shrink_ratio: float = 0.6
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (prob_gt [H,W] f32 0/1, thresh_gt [H,W] f32, thresh_mask).
+
+    prob_gt: text boxes shrunk by the DB offset d = area(1-r^2)/perimeter.
+    thresh_gt: normalized distance-to-box-edge inside the [shrunk, expanded]
+    border band (standard DB formulation).
+
+    Note: r=0.6 (gentler than canonical DB's 0.4) — our synthetic documents
+    contain small text (13-35 px line heights at native resolution); r=0.4
+    shrinks those to <3 px strips that the detector's min_size filter drops.
+    The inference unclip_ratio=1.6 approximately inverts this shrink.
+    """
+    h, w = shape
+    prob = np.zeros((h, w), np.float32)
+    thresh = np.zeros((h, w), np.float32)
+    tmask = np.zeros((h, w), np.float32)
+    for (x, y, bw, bh) in boxes:
+        if bw < 2 or bh < 2:
+            continue
+        area = bw * bh
+        perim = 2 * (bw + bh)
+        d = area * (1 - shrink_ratio ** 2) / perim
+        d = min(d, bw / 2 - 1, bh / 2 - 1)
+        d = max(d, 0.0)
+        # Shrunk rectangle -> positive prob region.
+        sx0 = int(round(x + d))
+        sy0 = int(round(y + d))
+        sx1 = int(round(x + bw - d))
+        sy1 = int(round(y + bh - d))
+        sx0, sy0 = max(0, sx0), max(0, sy0)
+        sx1, sy1 = min(w, sx1), min(h, sy1)
+        if sx1 > sx0 and sy1 > sy0:
+            prob[sy0:sy1, sx0:sx1] = 1.0
+        # Threshold band: [x-d, x+bw+d] minus the shrunk box; value =
+        # 1 - dist_to_original_edge / d.
+        ex0 = max(0, int(np.floor(x - d)))
+        ey0 = max(0, int(np.floor(y - d)))
+        ex1 = min(w, int(np.ceil(x + bw + d)))
+        ey1 = min(h, int(np.ceil(y + bh + d)))
+        if ex1 <= ex0 or ey1 <= ey0 or d <= 0:
+            continue
+        ys = np.arange(ey0, ey1)[:, None]
+        xs = np.arange(ex0, ex1)[None, :]
+        # Signed distance to the original rectangle boundary (positive
+        # outside, negative inside).
+        dx = np.maximum(np.maximum(x - xs, xs - (x + bw)), 0)
+        dy = np.maximum(np.maximum(y - ys, ys - (y + bh)), 0)
+        outside = np.hypot(dx, dy)
+        inside = np.minimum(np.minimum(xs - x, (x + bw) - xs),
+                            np.minimum(ys - y, (y + bh) - ys))
+        dist = np.where(outside > 0, outside, -np.maximum(inside, 0))
+        val = np.clip(1.0 - np.abs(dist) / d, 0.0, 1.0)
+        region = thresh[ey0:ey1, ex0:ex1]
+        np.maximum(region, val, out=region)
+        tmask[ey0:ey1, ex0:ex1] = 1.0
+    return prob, thresh, tmask
+
+
+# ---------------------------------------------------------------------------
+# CRAFT ground truth: Gaussian region + affinity maps
+# ---------------------------------------------------------------------------
+def _gaussian_patch(h: int, w: int) -> np.ndarray:
+    """2D Gaussian peaking at the center (vectorized; the reference builds
+    this with nested Python pixel loops, craft/dataset.py:181-221)."""
+    if h < 1 or w < 1:
+        return np.zeros((max(h, 1), max(w, 1)), np.float32)
+    ys = np.linspace(-1.0, 1.0, h)[:, None]
+    xs = np.linspace(-1.0, 1.0, w)[None, :]
+    sigma = 0.5
+    return np.exp(-(xs ** 2 + ys ** 2) / (2 * sigma ** 2)).astype(np.float32)
+
+
+def craft_ground_truth(shape: Tuple[int, int],
+                       char_boxes: Sequence[Sequence[Tuple[int, int, int, int]]]
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (region_map, affinity_map), each [H, W] f32 in [0, 1].
+
+    region: Gaussian per character box; affinity: Gaussian between adjacent
+    characters of a line (reference craft/dataset.py:154-223 semantics).
+    """
+    h, w = shape
+    region = np.zeros((h, w), np.float32)
+    affinity = np.zeros((h, w), np.float32)
+
+    def stamp(target, x, y, bw, bh):
+        x0, y0 = max(0, int(x)), max(0, int(y))
+        x1, y1 = min(w, int(x + bw)), min(h, int(y + bh))
+        if x1 <= x0 or y1 <= y0:
+            return
+        g = _gaussian_patch(y1 - y0, x1 - x0)
+        np.maximum(target[y0:y1, x0:x1], g, out=target[y0:y1, x0:x1])
+
+    for line in char_boxes:
+        for (x, y, bw, bh) in line:
+            stamp(region, x, y, bw, bh)
+        for a, b in zip(line, line[1:]):
+            ax, ay, aw, ah = a
+            bx, by, bw2, bh2 = b
+            # Affinity box spans the gap between consecutive char centers.
+            x0 = ax + aw / 2
+            x1 = bx + bw2 / 2
+            y0 = min(ay, by)
+            y1 = max(ay + ah, by + bh2)
+            if x1 > x0:
+                stamp(affinity, x0, y0, x1 - x0, y1 - y0)
+    return region, affinity
+
+
+# ---------------------------------------------------------------------------
+# Disk dataset writer (reference craft/dataset.py JSON annotation format)
+# ---------------------------------------------------------------------------
+def generate_detector_dataset(output_dir: str, num_samples: int,
+                              width: int = 640, height: int = 640,
+                              seed: int = 42, kind: str = "both") -> str:
+    """Writes images/, annotations.json with line + char boxes, and .npy GT
+    maps for the requested detector kind ('db' | 'craft' | 'both')."""
+    out = Path(output_dir)
+    (out / "images").mkdir(parents=True, exist_ok=True)
+    (out / "gt").mkdir(exist_ok=True)
+    gen = DocumentGenerator(width, height, seed=seed)
+    annotations = []
+    for i in range(num_samples):
+        doc = gen.generate()
+        name = f"doc_{i:05d}.png"
+        Image.fromarray(doc["image"]).save(out / "images" / name)
+        annotations.append({"image": name, "lines": doc["lines"],
+                            "texts": doc["texts"], "chars": doc["chars"],
+                            "layout": doc["layout"]})
+        if kind in ("db", "both"):
+            prob, thr, tm = db_ground_truth(doc["image"].shape, doc["lines"])
+            np.save(out / "gt" / f"{name}.db_prob.npy", prob)
+            np.save(out / "gt" / f"{name}.db_thresh.npy", thr)
+            np.save(out / "gt" / f"{name}.db_tmask.npy", tm)
+        if kind in ("craft", "both"):
+            region, affinity = craft_ground_truth(doc["image"].shape,
+                                                  doc["chars"])
+            np.save(out / "gt" / f"{name}.region.npy", region)
+            np.save(out / "gt" / f"{name}.affinity.npy", affinity)
+    (out / "annotations.json").write_text(json.dumps(annotations))
+    return str(out / "annotations.json")

@@ -1,0 +1,190 @@
+"""CRAFT text detector: JAX net + first-party box extraction.
+
+Behavior parity with the reference wrapper (kiri_ocr/detector/craft/
+model.py:191-292 + craft/utils.py:16-99): resize with aspect ratio to a
+/32-padded canvas (canvas 1280, mag ratio 1.5), run the net, threshold the
+region/affinity score maps, combine, connected components, per-component
+dilation, min-area rect, and rescale coordinates by the 2x net ratio.
+Geometry uses the first-party native library instead of OpenCV.
+"""
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ... import native
+from .net import craft_forward, init_craft_net
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def resize_aspect_ratio(img: np.ndarray, square_size: int, mag_ratio: float
+                        ) -> Tuple[np.ndarray, float]:
+    """Aspect-preserving magnified resize padded to /32
+    (reference craft/imgproc.py:73-114)."""
+    h, w = img.shape[:2]
+    target = mag_ratio * max(h, w)
+    if target > square_size:
+        target = square_size
+    ratio = target / max(h, w)
+    nh, nw = int(h * ratio), int(w * ratio)
+    if _HAS_CV2:
+        proc = cv2.resize(img, (nw, nh))
+    else:
+        from PIL import Image
+
+        proc = np.asarray(Image.fromarray(img).resize((nw, nh)))
+    ch = nh + (32 - nh % 32) % 32
+    cw = nw + (32 - nw % 32) % 32
+    canvas = np.zeros((ch, cw), dtype=img.dtype)
+    canvas[:nh, :nw] = proc
+    return canvas, ratio
+
+
+def get_det_boxes(textmap: np.ndarray, linkmap: np.ndarray,
+                  text_threshold: float, link_threshold: float,
+                  low_text: float) -> List[np.ndarray]:
+    """Score maps -> min-area quads (reference craft/utils.py:16-99)."""
+    text_score = (textmap >= low_text).astype(np.uint8)
+    link_score = (linkmap >= link_threshold).astype(np.uint8)
+    combined = np.clip(text_score + link_score, 0, 1).astype(np.uint8)
+
+    n, labels, stats = native.connected_components(combined)
+    boxes = []
+    for comp in range(1, n + 1):
+        x, y, w, h, size = stats[comp - 1]
+        if size < 10:
+            continue
+        if textmap[labels == comp].max() < text_threshold:
+            continue
+        # Dilate the component segmentation before the rect
+        # (reference craft/utils.py:60-75).
+        seg = np.zeros_like(combined)
+        mask = labels == comp
+        seg[mask & ~(link_score.astype(bool) & ~text_score.astype(bool))] = 1
+        niter = int(np.sqrt(size * min(w, h) / max(w * h, 1)) * 2)
+        pad = niter
+        x0, y0 = max(0, x - pad), max(0, y - pad)
+        x1 = min(seg.shape[1], x + w + pad + 1)
+        y1 = min(seg.shape[0], y + h + pad + 1)
+        window = seg[y0:y1, x0:x1]
+        if niter > 0:
+            window = native.dilate(window, 1 + 2 * niter)
+        ys, xs = np.nonzero(window)
+        if len(xs) < 4:
+            continue
+        pts = np.stack([xs + x0, ys + y0], axis=1).astype(np.float64)
+        rect = native.min_area_rect(pts)
+        box = native.box_points(rect)
+        # Align diamond-shaped rects to axis (reference utils.py:80-88).
+        bw = np.linalg.norm(box[0] - box[1])
+        bh = np.linalg.norm(box[1] - box[2])
+        ratio = max(bw, bh) / (min(bw, bh) + 1e-5)
+        if abs(1 - ratio) <= 0.1:
+            l, r = xs.min() + x0, xs.max() + x0
+            t, b = ys.min() + y0, ys.max() + y0
+            box = np.array([[l, t], [r, t], [r, b], [l, b]], dtype=np.float32)
+        # Clockwise order starting top-left.
+        startidx = box.sum(axis=1).argmin()
+        box = np.roll(box, 4 - startidx, 0)
+        boxes.append(box)
+    return boxes
+
+
+class CRAFTDetector:
+    """CRAFT wrapper with the reference parameter surface
+    (canvas_size=1280, mag_ratio=1.5, thresholds per craft/model.py:254-257)."""
+
+    def __init__(self, model_path: Optional[str] = None,
+                 text_threshold: float = 0.7, link_threshold: float = 0.4,
+                 low_text: float = 0.4, canvas_size: int = 1280,
+                 mag_ratio: float = 1.5, variables: Optional[Dict] = None):
+        import jax
+
+        self.text_threshold = text_threshold
+        self.link_threshold = link_threshold
+        self.low_text = low_text
+        self.canvas_size = canvas_size
+        self.mag_ratio = mag_ratio
+        self.model_path = model_path
+
+        if variables is not None:
+            self.variables = variables
+        elif model_path and Path(model_path).exists():
+            self.variables = load_craft_checkpoint(model_path)
+        else:
+            raise FileNotFoundError(f"CRAFT model not found at {model_path}")
+        self._fwd = jax.jit(partial(craft_forward, train=False))
+
+    def _load_gray(self, image) -> np.ndarray:
+        if isinstance(image, (str, Path)):
+            if _HAS_CV2:
+                img = cv2.imread(str(image), cv2.IMREAD_GRAYSCALE)
+            else:
+                from PIL import Image
+
+                img = np.asarray(Image.open(image).convert("L"))
+            if img is None:
+                raise ValueError(f"Image not found: {image}")
+            return img
+        img = np.asarray(image)
+        if img.ndim == 3:
+            if _HAS_CV2:
+                return cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+            return np.asarray(np.dot(img[..., ::-1],
+                                     [0.299, 0.587, 0.114]), np.uint8)
+        return img
+
+    def predict_maps(self, gray: np.ndarray) -> Tuple[np.ndarray, np.ndarray, float]:
+        import jax
+        import jax.numpy as jnp
+
+        canvas, ratio = resize_aspect_ratio(gray, self.canvas_size,
+                                            self.mag_ratio)
+        x = canvas.astype(np.float32) / 255.0
+        x = (x - 0.5) / 0.5
+        region, affinity, _ = self._fwd(self.variables,
+                                        jnp.asarray(x)[None, ..., None])
+        region = np.asarray(jax.nn.sigmoid(region[0]))
+        affinity = np.asarray(jax.nn.sigmoid(affinity[0]))
+        return region, affinity, ratio
+
+    def detect_text(self, image) -> List[Tuple[np.ndarray, float]]:
+        """(quad, confidence) list; coordinates in original image space."""
+        gray = self._load_gray(image)
+        region, affinity, ratio = self.predict_maps(gray)
+        boxes = get_det_boxes(region, affinity, self.text_threshold,
+                              self.link_threshold, self.low_text)
+        # Net output is half-res; adjust by 2/ratio (craft/utils.py:297-315).
+        results = []
+        for box in boxes:
+            scaled = box * (2.0 / ratio)
+            xs = np.clip(scaled[:, 0], 0, gray.shape[1])
+            ys = np.clip(scaled[:, 1], 0, gray.shape[0])
+            ix0, iy0 = int(box[:, 0].min()), int(box[:, 1].min())
+            ix1, iy1 = int(box[:, 0].max()) + 1, int(box[:, 1].max()) + 1
+            conf = float(region[iy0:iy1, ix0:ix1].max()) if ix1 > ix0 else 1.0
+            results.append((np.stack([xs, ys], axis=1).astype(np.float32),
+                            conf))
+        return results
+
+
+# ---------------------------------------------------------------------------
+def save_craft_checkpoint(path, variables) -> None:
+    from ..db import save_db_checkpoint
+
+    save_db_checkpoint(path, variables)  # same flat safetensors layout
+
+
+def load_craft_checkpoint(path) -> Dict:
+    from ..db import load_db_checkpoint
+
+    return load_db_checkpoint(path)
