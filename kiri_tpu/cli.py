@@ -1,0 +1,378 @@
+"""Kiri-TPU command-line interface.
+
+Subcommand surface mirrors the reference CLI (kiri_ocr/cli.py:280-596):
+``predict`` (with bare-image implicit predict), ``train``, ``generate``,
+``generate-detector``, ``train-detector``, ``init-config``; config merge
+order defaults < config file < explicit flags; streaming mode on predict.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+from .config import load_config_file, merge_config
+
+DEFAULT_TRAIN_CONFIG = {
+    "epochs": 10,
+    "batch_size": 32,
+    "lr": 3e-4,
+    "weight_decay": 0.01,
+    "height": 48,
+    "width": 640,
+    "max_seq_len": 512,
+    "ctc_weight": 0.5,
+    "dec_weight": 0.5,
+    "save_steps": 0,
+    "output_dir": "checkpoints",
+    "enc_dim": 256,
+    "enc_layers": 4,
+    "enc_heads": 8,
+    "enc_ff": 1024,
+    "dec_dim": 256,
+    "dec_layers": 3,
+    "dec_heads": 8,
+    "dec_ff": 1024,
+    "dropout": 0.15,
+}
+
+_COMMANDS = ("predict", "train", "generate", "generate-detector",
+             "train-detector", "init-config", "-h", "--help", "--version")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="kiri-tpu", description="Kiri-TPU document OCR (JAX/TPU)")
+    parser.add_argument("--version", action="version",
+                        version="kiri-tpu 0.1.0")
+    sub = parser.add_subparsers(dest="command")
+
+    p = sub.add_parser("predict", help="Run OCR on an image")
+    p.add_argument("image", help="Path to document image")
+    p.add_argument("--mode", choices=["lines", "words"], default="lines")
+    p.add_argument("--model", default="models/model.safetensors")
+    p.add_argument("--det-model", default=None)
+    p.add_argument("--det-method", choices=["db", "craft", "legacy"],
+                   default="db")
+    p.add_argument("--decode-method", choices=["fast", "accurate", "beam"],
+                   default="accurate")
+    p.add_argument("--padding", type=int, default=10)
+    p.add_argument("--output", "-o", default="output")
+    p.add_argument("--no-render", action="store_true")
+    p.add_argument("--device", default="tpu")
+    p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--stream", action="store_true",
+                   help="LLM-style character streaming output")
+
+    t = sub.add_parser("train", help="Train the recognizer")
+    t.add_argument("--config", help="YAML or JSON config file")
+    t.add_argument("--train-labels", help="Path to training labels.txt")
+    t.add_argument("--val-labels", help="Path to validation labels.txt")
+    t.add_argument("--hf-dataset", "--hf-datasets", nargs="+",
+                   help="HuggingFace dataset ID(s)")
+    t.add_argument("--hf-image-col", default="image")
+    t.add_argument("--hf-text-col", default="text")
+    t.add_argument("--hf-val-percent", type=float, default=0.1)
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--lr", type=float, default=None)
+    t.add_argument("--weight-decay", type=float, default=None)
+    t.add_argument("--vocab", help="Path to vocab.json (auto-built if absent)")
+    t.add_argument("--height", type=int, default=None)
+    t.add_argument("--width", type=int, default=None)
+    t.add_argument("--max-seq-len", type=int, default=None)
+    t.add_argument("--ctc-weight", type=float, default=None)
+    t.add_argument("--dec-weight", type=float, default=None)
+    t.add_argument("--save-steps", type=int, default=None)
+    t.add_argument("--output-dir", default=None)
+    t.add_argument("--from-model", help="Warm-start checkpoint")
+    t.add_argument("--enc-dim", type=int, default=None)
+    t.add_argument("--enc-layers", type=int, default=None)
+    t.add_argument("--enc-heads", type=int, default=None)
+    t.add_argument("--enc-ff", type=int, default=None)
+    t.add_argument("--dec-dim", type=int, default=None)
+    t.add_argument("--dec-layers", type=int, default=None)
+    t.add_argument("--dec-heads", type=int, default=None)
+    t.add_argument("--dec-ff", type=int, default=None)
+    t.add_argument("--dropout", type=float, default=None)
+    t.add_argument("--n-devices", type=int, default=None)
+    t.add_argument("--model-parallel", type=int, default=1)
+
+    g = sub.add_parser("generate", help="Generate synthetic line dataset")
+    g.add_argument("--train-file", "-t", default=None,
+                   help="Text file, one line per sample (random if omitted)")
+    g.add_argument("--output", "-o", default="data")
+    g.add_argument("--num-samples", "-n", type=int, default=1000)
+    g.add_argument("--height", type=int, default=48)
+    g.add_argument("--no-augment", action="store_true")
+    g.add_argument("--append", action="store_true")
+    g.add_argument("--khmer-ratio", type=float, default=0.0)
+
+    gd = sub.add_parser("generate-detector",
+                        help="Generate synthetic detector dataset")
+    gd.add_argument("--output", default="detector_dataset")
+    gd.add_argument("--num-train", type=int, default=800)
+    gd.add_argument("--num-val", type=int, default=200)
+    gd.add_argument("--image-size", type=int, default=640)
+    gd.add_argument("--kind", choices=["db", "craft", "both"], default="both")
+
+    td = sub.add_parser("train-detector", help="Train a text detector")
+    td.add_argument("--detector", choices=["db", "craft"], default="db")
+    td.add_argument("--steps", type=int, default=2000)
+    td.add_argument("--batch-size", type=int, default=8)
+    td.add_argument("--lr", type=float, default=None)
+    td.add_argument("--image-size", type=int, default=640)
+    td.add_argument("--output-dir", default=None)
+    td.add_argument("--pool-size", type=int, default=256)
+
+    ic = sub.add_parser("init-config", help="Create a training config file")
+    ic.add_argument("--output", "-o", default="train_config.yaml")
+    return parser
+
+
+# ---------------------------------------------------------------------------
+def run_inference(args) -> None:
+    import numpy as np
+
+    from .pipeline import OCR
+    from .renderer import DocumentRenderer
+
+    output_dir = Path(args.output)
+    output_dir.mkdir(exist_ok=True, parents=True)
+
+    if args.verbose:
+        print("\n" + "=" * 70)
+        print("  📄 Kiri-TPU OCR System")
+        print("=" * 70)
+
+    try:
+        ocr = OCR(model_path=args.model, det_model_path=args.det_model,
+                  det_method=args.det_method, padding=args.padding,
+                  device=args.device, verbose=args.verbose,
+                  decode_method=args.decode_method)
+
+        if args.stream:
+            run_streaming_inference(ocr, args, output_dir)
+            return
+
+        if not args.verbose:
+            print(f"Processing {args.image}...")
+        full_text, results = ocr.extract_text(args.image, mode=args.mode,
+                                              verbose=args.verbose)
+
+        (output_dir / "extracted_text.txt").write_text(full_text,
+                                                       encoding="utf-8")
+        (output_dir / "ocr_results.json").write_text(
+            json.dumps(results, indent=2, ensure_ascii=False),
+            encoding="utf-8")
+
+        if not args.no_render:
+            renderer = DocumentRenderer()
+            renderer.draw_boxes(args.image, results,
+                                output_path=str(output_dir / "boxes.png"))
+            renderer.draw_results(args.image, results,
+                                  output_path=str(output_dir / "ocr_result.png"))
+            renderer.create_report(args.image, results,
+                                   output_path=str(output_dir / "report.html"))
+
+        if args.verbose:
+            print("\n" + "=" * 70)
+            print("  ✅ Processing Complete!")
+            print(f"  Regions detected: {len(results)}")
+            if results:
+                avg = np.mean([r["confidence"] for r in results]) * 100
+                print(f"  Average confidence: {avg:.2f}%")
+            print(f"  Output directory: {output_dir}")
+            print("=" * 70 + "\n")
+        else:
+            for res in results:
+                print(res["text"])
+            print(f"\n✓ Saved results to {output_dir}")
+    except Exception as e:
+        print(f"\n❌ Error: {e}")
+        if args.verbose:
+            import traceback
+
+            traceback.print_exc()
+
+
+def run_streaming_inference(ocr, args, output_dir: Path) -> None:
+    """Character streaming to stdout (reference cli.py:163-222)."""
+    print(f"Processing {args.image} (streaming)...\n")
+    full_text_parts = []
+    current_region = 0
+    for chunk in ocr.extract_text_stream_chars(args.image, mode=args.mode):
+        if chunk.get("region_start"):
+            if current_region:
+                sys.stdout.write("\n")
+            current_region = chunk["region_number"]
+            continue
+        token = chunk.get("token", "")
+        if token:
+            sys.stdout.write(token)
+            sys.stdout.flush()
+            time.sleep(0.002)
+        if chunk.get("document_finished"):
+            full_text_parts.append(chunk.get("cumulative_text", ""))
+    sys.stdout.write("\n")
+    text = full_text_parts[-1] if full_text_parts else ""
+    (output_dir / "extracted_text.txt").write_text(text, encoding="utf-8")
+    print(f"\n✓ Saved to {output_dir / 'extracted_text.txt'}")
+
+
+# ---------------------------------------------------------------------------
+def run_train(args) -> None:
+    from .config import CFG
+    from .data.datasets import load_hf_dataset, load_local_dataset
+    from .tokenizer import CharTokenizer, build_vocab_from_texts
+    from .train.trainer import TrainConfig, train_loop
+
+    file_cfg = load_config_file(args.config) if args.config else None
+    merged = merge_config(
+        DEFAULT_TRAIN_CONFIG, file_cfg,
+        {k: getattr(args, k, None) for k in DEFAULT_TRAIN_CONFIG})
+
+    cfg = CFG(IMG_H=merged["height"], IMG_W=merged["width"],
+              ENC_DIM=merged["enc_dim"], ENC_LAYERS=merged["enc_layers"],
+              ENC_HEADS=merged["enc_heads"], ENC_FF=merged["enc_ff"],
+              DEC_DIM=merged["dec_dim"], DEC_LAYERS=merged["dec_layers"],
+              DEC_HEADS=merged["dec_heads"], DEC_FF=merged["dec_ff"],
+              DROPOUT=merged["dropout"], MAX_DEC_LEN=merged["max_seq_len"])
+
+    if args.train_labels:
+        train_set = load_local_dataset(args.train_labels, cfg.IMG_H,
+                                       cfg.IMG_W, augment=True)
+        if args.val_labels:
+            val_set = load_local_dataset(args.val_labels, cfg.IMG_H, cfg.IMG_W)
+        else:
+            n_val = max(1, len(train_set) // 20)
+            val_set = [train_set[i] for i in range(n_val)]
+    elif args.hf_dataset:
+        train_set, val_set = load_hf_dataset(
+            args.hf_dataset, args.hf_image_col, args.hf_text_col,
+            cfg.IMG_H, cfg.IMG_W, augment=True,
+            val_ratio=args.hf_val_percent)
+    else:
+        print("❌ Error: --train-labels or --hf-dataset is required")
+        sys.exit(1)
+
+    out_dir = Path(merged["output_dir"])
+    out_dir.mkdir(parents=True, exist_ok=True)
+    vocab_path = args.vocab
+    if not vocab_path:
+        vocab_path = str(out_dir / "vocab.json")
+        if not Path(vocab_path).exists():
+            print("🔤 Building vocabulary from training texts...")
+            texts = (train_set[i]["text"] for i in range(len(train_set)))
+            build_vocab_from_texts(texts, vocab_path)
+    tok = CharTokenizer(vocab_path, cfg)
+
+    tc = TrainConfig(
+        epochs=merged["epochs"], batch_size=merged["batch_size"],
+        lr=merged["lr"], weight_decay=merged["weight_decay"],
+        ctc_weight=merged["ctc_weight"], dec_weight=merged["dec_weight"],
+        max_seq_len=merged["max_seq_len"], save_steps=merged["save_steps"],
+        out_dir=str(out_dir), n_devices=args.n_devices,
+        model_parallel=args.model_parallel)
+
+    train_samples = [train_set[i] for i in range(len(train_set))]
+    val_samples = ([val_set[i] for i in range(len(val_set))]
+                   if not isinstance(val_set, list) else val_set)
+    train_loop(cfg, tok, tc, train_samples, val_samples,
+               vocab_path=vocab_path, from_model=args.from_model)
+
+
+def run_generate(args) -> None:
+    from .data.synth import DatasetGenerator, MultilingualDatasetGenerator
+
+    texts = None
+    if args.train_file:
+        texts = [l.rstrip("\n") for l in
+                 Path(args.train_file).read_text(encoding="utf-8").splitlines()
+                 if l.strip()]
+    cls = (MultilingualDatasetGenerator if args.khmer_ratio > 0
+           else DatasetGenerator)
+    kwargs = {"khmer_ratio": args.khmer_ratio} if args.khmer_ratio > 0 else {}
+    gen = cls(args.output, height=args.height,
+              augment=not args.no_augment, **kwargs)
+    labels = gen.generate_dataset(args.num_samples, texts=texts,
+                                  append=args.append)
+    print(f"✓ Generated {args.num_samples} samples -> {labels}")
+
+
+def run_generate_detector(args) -> None:
+    from .data.docsynth import generate_detector_dataset
+
+    out = Path(args.output)
+    generate_detector_dataset(str(out / "train"), args.num_train,
+                              args.image_size, args.image_size,
+                              kind=args.kind)
+    generate_detector_dataset(str(out / "val"), args.num_val,
+                              args.image_size, args.image_size, seed=1337,
+                              kind=args.kind)
+    print(f"✓ Detector dataset -> {out}")
+
+
+def run_train_detector(args) -> None:
+    if args.detector == "db":
+        from .detect.db.train import DBTrainConfig, train_db
+
+        tc = DBTrainConfig(steps=args.steps, batch_size=args.batch_size,
+                           image_size=args.image_size,
+                           pool_size=args.pool_size,
+                           out_dir=args.output_dir or "checkpoints_db")
+        if args.lr:
+            tc.lr = args.lr
+        train_db(tc)
+    else:
+        from .detect.craft.train import CRAFTTrainConfig, train_craft
+
+        tc = CRAFTTrainConfig(steps=args.steps, batch_size=args.batch_size,
+                              image_size=args.image_size,
+                              pool_size=args.pool_size,
+                              out_dir=args.output_dir or "checkpoints_craft")
+        if args.lr:
+            tc.lr = args.lr
+        train_craft(tc)
+
+
+def init_config(args) -> None:
+    out = Path(args.output)
+    lines = ["# Kiri-TPU training configuration",
+             "# Values here override defaults; CLI flags override both.", ""]
+    for k, v in DEFAULT_TRAIN_CONFIG.items():
+        lines.append(f"{k}: {v}")
+    out.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    print(f"✓ Config written to {out}")
+
+
+# ---------------------------------------------------------------------------
+def main(argv=None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # Bare image path -> implicit predict (reference cli.py:516-530).
+    if argv and argv[0] not in _COMMANDS and not argv[0].startswith("-"):
+        argv.insert(0, "predict")
+
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+
+    if args.command == "predict":
+        run_inference(args)
+    elif args.command == "train":
+        run_train(args)
+    elif args.command == "generate":
+        run_generate(args)
+    elif args.command == "generate-detector":
+        run_generate_detector(args)
+    elif args.command == "train-detector":
+        run_train_detector(args)
+    elif args.command == "init-config":
+        init_config(args)
+    else:
+        parser.print_help()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""CLI subcommands and renderer outputs."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from kiri_tpu.cli import main
+from kiri_tpu.renderer import DocumentRenderer
+
+
+def test_init_config(tmp_path, capsys):
+    main(["init-config", "-o", str(tmp_path / "cfg.yaml")])
+    text = (tmp_path / "cfg.yaml").read_text()
+    assert "epochs:" in text and "lr:" in text
+    import yaml
+
+    cfg = yaml.safe_load(text)
+    assert cfg["batch_size"] == 32
+
+
+def test_generate(tmp_path):
+    main(["generate", "-o", str(tmp_path / "d"), "-n", "4", "--no-augment"])
+    labels = (tmp_path / "d" / "labels.txt").read_text().splitlines()
+    assert len(labels) == 4
+    name, text = labels[0].split("\t")
+    img = Image.open(tmp_path / "d" / "images" / name)
+    assert img.size[1] == 48
+    assert text
+
+
+def test_generate_append(tmp_path):
+    main(["generate", "-o", str(tmp_path / "d"), "-n", "3"])
+    main(["generate", "-o", str(tmp_path / "d"), "-n", "2", "--append"])
+    labels = (tmp_path / "d" / "labels.txt").read_text().splitlines()
+    assert len(labels) == 5
+
+
+def test_generate_detector(tmp_path):
+    main(["generate-detector", "--output", str(tmp_path / "det"),
+          "--num-train", "2", "--num-val", "1", "--image-size", "256",
+          "--kind", "db"])
+    ann = json.loads((tmp_path / "det" / "train" / "annotations.json")
+                     .read_text())
+    assert len(ann) == 2
+    assert "lines" in ann[0] and "chars" in ann[0]
+    gt = tmp_path / "det" / "train" / "gt"
+    assert (gt / f"{ann[0]['image']}.db_prob.npy").exists()
+
+
+def test_bare_image_implicit_predict(tmp_path, capsys):
+    """A bare image path routes to predict (reference cli.py:516-530).
+    No model exists at the default path -> error message, not a crash."""
+    img = tmp_path / "x.png"
+    Image.new("L", (100, 50), 255).save(img)
+    main([str(img), "--output", str(tmp_path / "out"), "--no-render"])
+    out = capsys.readouterr().out
+    assert "Error" in out  # default model missing; graceful message
+
+
+def test_renderer_outputs(tmp_path):
+    img_path = tmp_path / "doc.png"
+    Image.new("RGB", (200, 100), (255, 255, 255)).save(img_path)
+    results = [
+        {"box": [10, 10, 80, 20], "text": "hello", "confidence": 0.95,
+         "det_confidence": 1.0, "line_number": 1},
+        {"box": [10, 50, 120, 20], "text": "world", "confidence": 0.6,
+         "det_confidence": 1.0, "line_number": 2},
+    ]
+    r = DocumentRenderer()
+    p1 = r.draw_boxes(img_path, results, str(tmp_path / "boxes.png"))
+    p2 = r.draw_results(img_path, results, str(tmp_path / "res.png"))
+    p3 = r.create_report(img_path, results, str(tmp_path / "rep.html"))
+    assert Image.open(p1).size == (200, 100)
+    assert Image.open(p2).size == (410, 100)
+    html = Path(p3).read_text()
+    assert "hello" in html and "world" in html and "data:image/png" in html
+
+
+def test_version(capsys):
+    with pytest.raises(SystemExit):
+        main(["--version"])
+    assert "kiri-tpu" in capsys.readouterr().out

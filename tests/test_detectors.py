@@ -1,0 +1,198 @@
+"""Detector components: DB postproc, CRAFT box extraction, doc generator GT."""
+import numpy as np
+import pytest
+
+from kiri_tpu.data.docsynth import (DocumentGenerator, craft_ground_truth,
+                                    db_ground_truth)
+
+
+def _bare_db_detector():
+    from kiri_tpu.detect.db import DBDetector
+
+    det = DBDetector.__new__(DBDetector)
+    det.det_db_thresh = 0.3
+    det.det_db_box_thresh = 0.5
+    det.det_db_unclip_ratio = 1.6
+    det.min_size = 3
+    det.max_candidates = 1000
+    det.padding_pct = 0.01
+    det.padding_px = 5
+    det.padding_y_pct = 0.05
+    det.padding_y_px = 5
+    det.debug = False
+    return det
+
+
+def test_docsynth_produces_lines_and_chars():
+    gen = DocumentGenerator(320, 320, seed=0)
+    doc = gen.generate()
+    assert doc["image"].shape == (320, 320)
+    assert doc["image"].dtype == np.uint8
+    assert len(doc["lines"]) >= 1
+    assert len(doc["lines"]) == len(doc["texts"]) == len(doc["chars"])
+    for (x, y, w, h), text, cboxes in zip(doc["lines"], doc["texts"],
+                                          doc["chars"]):
+        assert w > 0 and h > 0
+        assert len(cboxes) == sum(1 for c in text if c != " ")
+
+
+def test_db_ground_truth_maps():
+    prob, thresh, tmask = db_ground_truth((100, 200), [(20, 20, 100, 20)])
+    assert prob.shape == (100, 200)
+    # Shrunk positive region strictly inside the box.
+    ys, xs = np.nonzero(prob)
+    assert xs.min() > 20 and xs.max() < 120
+    assert ys.min() > 20 and ys.max() < 40
+    # Threshold peaks (=1) on the box border, decays away from it.
+    assert thresh.max() > 0.95
+    assert tmask.sum() > 0
+    assert thresh[30, 20] > thresh[30, 10]  # closer to edge -> higher
+
+
+def test_db_postproc_recall_from_perfect_maps():
+    det = _bare_db_detector()
+    total_gt = total_det = 0
+    for seed in range(8):
+        gen = DocumentGenerator(320, 320, seed=seed)
+        doc = gen.generate()
+        prob, _, _ = db_ground_truth(doc["image"].shape, doc["lines"])
+        boxes, scores = det._boxes_from_bitmap(
+            prob, (prob > 0.3).astype(np.uint8), 320, 320)
+        total_gt += len(doc["lines"])
+        total_det += len(boxes)
+    assert total_det >= 0.9 * total_gt, (total_det, total_gt)
+    assert total_det <= 1.1 * total_gt
+
+
+def test_db_boxes_cover_gt_lines():
+    det = _bare_db_detector()
+    gen = DocumentGenerator(320, 320, seed=1)
+    doc = gen.generate()
+    prob, _, _ = db_ground_truth(doc["image"].shape, doc["lines"])
+    boxes, scores = det._boxes_from_bitmap(
+        prob, (prob > 0.3).astype(np.uint8), 320, 320)
+    padded = det._apply_smart_padding(boxes)
+    results = det._sort_boxes_reading_order(list(zip(padded, scores)))
+    # Reading order: vertical centers non-decreasing across line groups.
+    centers = [np.mean(b[:, 1]) for b, _ in results]
+    assert all(c2 >= c1 - 15 for c1, c2 in zip(centers, centers[1:]))
+    # Each GT line center is inside some detected box AABB.
+    hit = 0
+    for (x, y, w, h) in doc["lines"]:
+        cx, cy = x + w / 2, y + h / 2
+        for b, _ in results:
+            if (b[:, 0].min() <= cx <= b[:, 0].max()
+                    and b[:, 1].min() <= cy <= b[:, 1].max()):
+                hit += 1
+                break
+    assert hit >= 0.9 * len(doc["lines"])
+
+
+def test_craft_gt_and_box_extraction():
+    from kiri_tpu.detect.craft import get_det_boxes
+
+    gen = DocumentGenerator(320, 320, seed=5)
+    doc = gen.generate()
+    region, affinity = craft_ground_truth(doc["image"].shape, doc["chars"])
+    assert 0 <= region.min() and region.max() <= 1.0
+    boxes = get_det_boxes(region, affinity, 0.7, 0.4, 0.4)
+    assert boxes, "no boxes from perfect CRAFT maps"
+    n_words = sum(len(t.split()) for t in doc["texts"])
+    # Word-level detection: box count within 2x of word count.
+    assert 0.4 * n_words <= len(boxes) <= 2.0 * n_words
+
+
+def test_db_net_shapes():
+    import jax
+
+    from kiri_tpu.detect.db.net import db_forward, init_db_net
+
+    v = init_db_net(jax.random.PRNGKey(0))
+    x = np.zeros((1, 64, 96, 1), np.float32)
+    prob, thresh, _ = jax.jit(lambda v, x: db_forward(v, x))(v, x)
+    assert prob.shape == (1, 64, 96)
+    assert thresh.shape == (1, 64, 96)
+    assert 0 <= float(prob.min()) and float(prob.max()) <= 1
+
+
+def test_craft_net_shapes():
+    import jax
+
+    from kiri_tpu.detect.craft.net import craft_forward, init_craft_net
+
+    v = init_craft_net(jax.random.PRNGKey(0))
+    x = np.zeros((1, 64, 96, 1), np.float32)
+    region, affinity, _ = jax.jit(lambda v, x: craft_forward(v, x))(v, x)
+    assert region.shape == (1, 32, 48)
+    assert affinity.shape == (1, 32, 48)
+
+
+def test_db_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from kiri_tpu.detect.db import load_db_checkpoint, save_db_checkpoint
+    from kiri_tpu.detect.db.net import init_db_net
+
+    v = init_db_net(jax.random.PRNGKey(0))
+    p = tmp_path / "det.safetensors"
+    save_db_checkpoint(p, v)
+    v2 = load_db_checkpoint(p)
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_db_train_step_decreases_loss():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from kiri_tpu.detect.db.net import init_db_net
+    from kiri_tpu.detect.db.train import (DBTrainConfig, db_loss,
+                                          make_batch, make_db_train_step)
+
+    tc = DBTrainConfig(image_size=160, batch_size=2, lr=1e-3)
+    gen = DocumentGenerator(160, 160, seed=0)
+    batch = jax.tree.map(jnp.asarray, make_batch(gen, 2, 160))
+    variables = init_db_net(jax.random.PRNGKey(0))
+    optimizer = optax.adam(tc.lr)
+    opt_state = optimizer.init(variables["params"])
+    step = make_db_train_step(tc, optimizer)
+    losses = []
+    for i in range(12):
+        variables, opt_state, metrics = step(variables, opt_state, batch,
+                                             jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_craft_train_step_decreases_loss():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from kiri_tpu.detect.craft.net import init_craft_net
+    from kiri_tpu.detect.craft.train import craft_loss, make_batch
+
+    gen = DocumentGenerator(160, 160, seed=0)
+    batch = jax.tree.map(jnp.asarray, make_batch(gen, 2, 160))
+    variables = init_craft_net(jax.random.PRNGKey(0))
+    optimizer = optax.adam(5e-4)
+    opt_state = optimizer.init(variables["params"])
+
+    @jax.jit
+    def step(variables, opt_state, batch):
+        (loss, (ns, m)), grads = jax.value_and_grad(
+            craft_loss, has_aux=True)(variables, batch)
+        updates, opt_state = optimizer.update(grads["params"], opt_state)
+        params = optax.apply_updates(variables["params"], updates)
+        bs = dict(variables["batch_stats"])
+        if ns:
+            bs.update(ns)
+        return {"params": params, "batch_stats": bs}, opt_state, loss
+
+    losses = []
+    for _ in range(12):
+        variables, opt_state, loss = step(variables, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
