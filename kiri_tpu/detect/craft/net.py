@@ -31,23 +31,18 @@ def _conv_init(rng, kh, kw, cin, cout):
     return jax.random.normal(rng, (kh, kw, cin, cout), jnp.float32) * std
 
 
-def _bn_init(c):
-    return ({"scale": jnp.ones((c,), jnp.float32),
-             "bias": jnp.zeros((c,), jnp.float32)},
-            {"mean": jnp.zeros((c,), jnp.float32),
-             "var": jnp.ones((c,), jnp.float32)})
+def _gn_init(c):
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32)}
 
 
 def init_craft_net(rng) -> Dict[str, Any]:
     rngs = iter(jax.random.split(rng, 128))
     params: Params = {}
-    stats: Params = {}
 
     def conv_bn(name, kh, kw, cin, cout):
-        params[name] = {"w": _conv_init(next(rngs), kh, kw, cin, cout)}
-        bn_p, bn_s = _bn_init(cout)
-        params[name]["bn"] = bn_p
-        stats[name] = bn_s
+        params[name] = {"w": _conv_init(next(rngs), kh, kw, cin, cout),
+                        "gn": _gn_init(cout)}
 
     cin = 1
     for si, (c, convs) in enumerate(_ENC):
@@ -68,23 +63,20 @@ def init_craft_net(rng) -> Dict[str, Any]:
     # Head: 2 maps (region, affinity) at the final decoder scale (stride 2).
     params["head"] = {"w": _conv_init(next(rngs), 1, 1, dcin, 2),
                       "b": jnp.zeros((2,), jnp.float32)}
-    return {"params": params, "batch_stats": stats}
+    return {"params": params, "batch_stats": {}}
 
 
-def _bn_apply(p, s, x, train, momentum=0.1, eps=1e-5):
-    if train:
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        new_s = {"mean": (1 - momentum) * s["mean"] + momentum * mean,
-                 "var": (1 - momentum) * s["var"]
-                        + momentum * var * n / max(n - 1, 1)}
-    else:
-        mean, var = s["mean"], s["var"]
-        new_s = None
-    inv = jax.lax.rsqrt(var + eps) * p["scale"]
-    return ((x.astype(jnp.float32) - mean) * inv + p["bias"]).astype(x.dtype), new_s
+def _gn_apply(p, x, groups: int = 8, eps: float = 1e-5):
+    """GroupNorm (batch-independent; see detect/db/net.py rationale)."""
+    b, h, w, c = x.shape
+    g = min(groups, c)
+    while c % g != 0:
+        g -= 1
+    xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def _conv(x, w, stride=1, dilation=1):
@@ -109,19 +101,14 @@ def craft_forward(variables: Dict[str, Any], images: jnp.ndarray,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, Any]:
     """images [B, H, W, 1] normalized float, H/W divisible by 16.
 
-    Returns (region [B, H/2, W/2], affinity [B, H/2, W/2], new_stats) —
+    Returns (region [B, H/2, W/2], affinity [B, H/2, W/2], None) —
     raw logits; apply sigmoid for scores (reference craft/model.py:276-278).
     """
     params = variables["params"]
-    stats = variables["batch_stats"]
-    new_stats: Params = {}
 
     def cbr(name, x, dilation=1):
         y = _conv(x, params[name]["w"], dilation=dilation)
-        y, ns = _bn_apply(params[name]["bn"], stats[name], y, train)
-        if ns is not None:
-            new_stats[name] = ns
-        return jax.nn.relu(y)
+        return jax.nn.relu(_gn_apply(params[name]["gn"], y))
 
     x = images
     skips = []
@@ -146,7 +133,7 @@ def craft_forward(variables: Dict[str, Any], images: jnp.ndarray,
 
     head = _conv(x, params["head"]["w"]) + params["head"]["b"].astype(x.dtype)
     head = head.astype(jnp.float32)
-    return head[..., 0], head[..., 1], (new_stats if train else None)
+    return head[..., 0], head[..., 1], None
 
 
 def num_params(variables) -> int:

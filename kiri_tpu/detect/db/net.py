@@ -34,23 +34,18 @@ def _conv_init(rng, kh, kw, cin, cout):
     return jax.random.normal(rng, (kh, kw, cin, cout), jnp.float32) * std
 
 
-def _bn_init(c):
-    return ({"scale": jnp.ones((c,), jnp.float32),
-             "bias": jnp.zeros((c,), jnp.float32)},
-            {"mean": jnp.zeros((c,), jnp.float32),
-             "var": jnp.ones((c,), jnp.float32)})
+def _gn_init(c):
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32)}
 
 
 def init_db_net(rng) -> Dict[str, Any]:
     rngs = iter(jax.random.split(rng, 128))
     params: Params = {}
-    stats: Params = {}
 
     def conv_bn(name, kh, kw, cin, cout):
-        params[name] = {"w": _conv_init(next(rngs), kh, kw, cin, cout)}
-        bn_p, bn_s = _bn_init(cout)
-        params[name]["bn"] = bn_p
-        stats[name] = bn_s
+        params[name] = {"w": _conv_init(next(rngs), kh, kw, cin, cout),
+                        "gn": _gn_init(cout)}
 
     conv_bn("stem", 3, 3, 1, 16)
     cin = 16
@@ -70,28 +65,26 @@ def init_db_net(rng) -> Dict[str, Any]:
     for head in ("prob", "thresh"):
         conv_bn(f"{head}_c1", 3, 3, 4 * _FPN_CH, _FPN_CH)
         params[f"{head}_d1"] = {"w": _conv_init(next(rngs), 2, 2, _FPN_CH, _FPN_CH),
-                                "b": jnp.zeros((_FPN_CH,), jnp.float32)}
-        bn_p, bn_s = _bn_init(_FPN_CH)
-        params[f"{head}_d1"]["bn"] = bn_p
-        stats[f"{head}_d1"] = bn_s
+                                "b": jnp.zeros((_FPN_CH,), jnp.float32),
+                                "gn": _gn_init(_FPN_CH)}
         params[f"{head}_d2"] = {"w": _conv_init(next(rngs), 2, 2, _FPN_CH, 1),
                                 "b": jnp.zeros((1,), jnp.float32)}
-    return {"params": params, "batch_stats": stats}
+    return {"params": params, "batch_stats": {}}
 
 
-def _bn_apply(p, s, x, train: bool, momentum: float = 0.1, eps: float = 1e-5):
-    if train:
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        new_s = {"mean": (1 - momentum) * s["mean"] + momentum * mean,
-                 "var": (1 - momentum) * s["var"] + momentum * var * n / max(n - 1, 1)}
-    else:
-        mean, var = s["mean"], s["var"]
-        new_s = None
-    inv = jax.lax.rsqrt(var + eps) * p["scale"]
-    return ((x.astype(jnp.float32) - mean) * inv + p["bias"]).astype(x.dtype), new_s
+def _gn_apply(p, x, groups: int = 8, eps: float = 1e-5):
+    """GroupNorm over NHWC: batch-independent, so train == eval numerics
+    (BatchNorm here learned to exploit per-batch statistics — running-stat
+    EMAs never matched any individual batch and eval collapsed)."""
+    b, h, w, c = x.shape
+    g = min(groups, c)
+    while c % g != 0:
+        g -= 1
+    xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def _conv(x, w, stride=1, dilation=1):
@@ -112,18 +105,14 @@ def db_forward(variables: Dict[str, Any], images: jnp.ndarray,
                train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, Any]:
     """images: [B, H, W, 1] normalized float (H, W divisible by 32).
 
-    Returns (prob_map [B, H, W], thresh_map [B, H, W], new_stats_or_None).
+    Returns (prob_map [B, H, W], thresh_map [B, H, W], None) — GroupNorm
+    carries no running state, so train and eval are numerically identical.
     """
     params = variables["params"]
-    stats = variables["batch_stats"]
-    new_stats: Params = {}
 
     def conv_bn_relu(name, x, stride=1):
         y = _conv(x, params[name]["w"], stride)
-        y, ns = _bn_apply(params[name]["bn"], stats[name], y, train)
-        if ns is not None:
-            new_stats[name] = ns
-        return jax.nn.relu(y)
+        return jax.nn.relu(_gn_apply(params[name]["gn"], y))
 
     x = conv_bn_relu("stem", images, stride=2)
     feats: List[jnp.ndarray] = []
@@ -133,16 +122,10 @@ def db_forward(variables: Dict[str, Any], images: jnp.ndarray,
             st = stride if bi == 0 else 1
             y = conv_bn_relu(f"{pre}_c1", x, stride=st)
             y2 = _conv(y, params[f"{pre}_c2"]["w"])
-            y2, ns = _bn_apply(params[f"{pre}_c2"]["bn"], stats[f"{pre}_c2"],
-                               y2, train)
-            if ns is not None:
-                new_stats[f"{pre}_c2"] = ns
+            y2 = _gn_apply(params[f"{pre}_c2"]["gn"], y2)
             if f"{pre}_sc" in params:
                 sc = _conv(x, params[f"{pre}_sc"]["w"], stride=st)
-                sc, ns = _bn_apply(params[f"{pre}_sc"]["bn"],
-                                   stats[f"{pre}_sc"], sc, train)
-                if ns is not None:
-                    new_stats[f"{pre}_sc"] = ns
+                sc = _gn_apply(params[f"{pre}_sc"]["gn"], sc)
             else:
                 sc = x if st == 1 else _avgpool(x, st)
             x = jax.nn.relu(y2 + sc)
@@ -169,15 +152,11 @@ def db_forward(variables: Dict[str, Any], images: jnp.ndarray,
     for head in ("prob", "thresh"):
         h = conv_bn_relu(f"{head}_c1", fused)
         h = _deconv2(h, params[f"{head}_d1"]["w"], params[f"{head}_d1"]["b"])
-        h, ns = _bn_apply(params[f"{head}_d1"]["bn"], stats[f"{head}_d1"],
-                          h, train)
-        if ns is not None:
-            new_stats[f"{head}_d1"] = ns
-        h = jax.nn.relu(h)
+        h = jax.nn.relu(_gn_apply(params[f"{head}_d1"]["gn"], h))
         h = _deconv2(h, params[f"{head}_d2"]["w"], params[f"{head}_d2"]["b"])
         outs[head] = jax.nn.sigmoid(h[..., 0].astype(jnp.float32))
 
-    return outs["prob"], outs["thresh"], (new_stats if train else None)
+    return outs["prob"], outs["thresh"], None
 
 
 def _upsample2(x):

@@ -87,13 +87,49 @@ class RecognizerEngine:
         return D.pick_l_cap(self.cfg, int(ms.max(initial=1)))
 
     # ---------------------------------------------------------- public paths
+    def recognize_crops(self, crops: Sequence[np.ndarray], method: str
+                        ) -> List[Tuple[str, float]]:
+        """Recognize raw variable-size line crops with DEVICE preprocessing:
+        the Pallas kernel (kernels/resize.py) fuses invert-if-dark + aspect
+        resize + pad + normalize on-chip, then recognition proceeds as usual.
+
+        Host-side preprocessing (``recognize_batch``) ships fewer bytes per
+        line (48x640 u8 vs padded raw crops), so it wins when host->device
+        bandwidth is the bottleneck; this path wins when host CPU is.
+        """
+        if len(crops) == 0:
+            return []
+        import jax.numpy as jnp
+
+        from .kernels.resize import pack_crops, preprocess_lines
+
+        buf, sizes = pack_crops(list(crops))
+        bucket = D.pick_batch_bucket(self.cfg, buf.shape[0])
+        if bucket > buf.shape[0]:
+            pad_n = bucket - buf.shape[0]
+            buf = np.concatenate(
+                [buf, np.zeros((pad_n,) + buf.shape[1:], np.uint8)])
+            sizes = np.concatenate(
+                [sizes, np.ones((pad_n, 2), np.int32)], axis=0)
+        norm = preprocess_lines(jnp.asarray(buf), jnp.asarray(sizes),
+                                self.cfg.IMG_H, self.cfg.IMG_W)
+        return self._recognize_prepared(norm, len(crops), method)
+
+    def _recognize_prepared(self, imgs, n: int, method: str
+                            ) -> List[Tuple[str, float]]:
+        mem, memp, ctc, ids, conf, est = self._encode_jit(self.variables, imgs)
+        return self._finish(memp, ctc, ids, conf, est, n, method)
+
     def recognize_batch(self, imgs_u8: np.ndarray, method: str) -> List[Tuple[str, float]]:
         """Recognize N line images. method in {"ctc", "decoder", "beam"}."""
         imgs_u8 = np.asarray(imgs_u8)
         if imgs_u8.shape[0] == 0:
             return []
         memp, ctc, ids, conf, est, n = self.encode_batch(imgs_u8)
+        return self._finish(memp, ctc, ids, conf, est, n, method)
 
+    def _finish(self, memp, ctc, ids, conf, est, n: int, method: str
+                ) -> List[Tuple[str, float]]:
         if method == "ctc":
             texts = self.tok.decode_ctc_batch(np.asarray(ids)[:n])
             confs = np.asarray(conf)[:n]

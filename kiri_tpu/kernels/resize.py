@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: fused line-crop preprocessing.
+
+Replaces the reference's per-line host preprocessing (PIL resize + pad +
+normalize, kiri_ocr/model.py:311-339 + core.py:489-528) with one device
+kernel over the whole batch of detected lines:
+
+    invert-if-dark  ->  aspect-preserving bilinear resize to height H
+                    ->  left-aligned pad/crop to width W (gray 128)
+                    ->  normalize to [-1, 1]
+
+TPU-first formulation: bilinear resize is expressed as TWO MATMULS
+(out = R_y @ img @ C_x) where R_y [H, Hmax] and C_x [Wmax, W] are per-line
+interpolation matrices built on the fly from iota arithmetic — no gathers,
+both contractions run on the MXU. Per-line (h, w) sizes arrive via scalar
+prefetch so the grid program can size its matrices before the body runs.
+
+A pure-JAX reference implementation (same math, vmap over lines) backs the
+kernel for CPU tests and serves as the interpret-mode oracle.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _interp_matrix(out_len: int, src_len, max_src: int, dtype=jnp.float32):
+    """Bilinear interpolation matrix M [out_len, max_src]:
+    out[i] = sum_s M[i, s] * src[s], resampling src_len -> out_len with
+    the (i + 0.5) * scale - 0.5 convention (cv2/PIL BILINEAR)."""
+    scale = src_len.astype(dtype) / out_len
+    dst = jax.lax.broadcasted_iota(dtype, (out_len, max_src), 0)
+    src = jax.lax.broadcasted_iota(dtype, (out_len, max_src), 1)
+    pos = (dst + 0.5) * scale - 0.5
+    pos = jnp.clip(pos, 0.0, src_len.astype(dtype) - 1.0)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src - pos))
+    # Valid source columns only (beyond src_len contribute nothing).
+    w = jnp.where(src < src_len.astype(dtype), w, 0.0)
+    # Rows re-normalized so edge clamping keeps unit mass.
+    return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference (vmap over lines) — also the CPU fallback.
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def preprocess_lines_ref(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
+                         out_h: int, out_w: int) -> jnp.ndarray:
+    """crops_u8 [N, Hmax, Wmax] u8 (top-left valid region per sizes [N, 2]
+    = (h, w)); returns normalized f32 [N, out_h, out_w]."""
+
+    def one(crop, size):
+        h, w = size[0], size[1]
+        img = crop.astype(jnp.float32)
+        # Mean over the valid region; invert when dark (core.py:524-526).
+        hmax, wmax = img.shape
+        ys = jax.lax.broadcasted_iota(jnp.int32, (hmax, wmax), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (hmax, wmax), 1)
+        valid = (ys < h) & (xs < w)
+        mean = jnp.sum(jnp.where(valid, img, 0.0)) / jnp.maximum(1, h * w)
+        img = jnp.where(mean < 127.0, 255.0 - img, img)
+
+        # Output content width nw = round(w * out_h / h), clipped to out_w.
+        nw = jnp.clip(jnp.round(w * out_h / jnp.maximum(1, h)), 1,
+                      out_w).astype(jnp.int32)
+        ry = _interp_matrix(out_h, h, hmax)                  # [H, Hmax]
+        resized_rows = jnp.dot(ry, img,
+                               preferred_element_type=jnp.float32)
+        # Column matrix maps w -> out_w but only the first nw columns are
+        # content; build with per-column target width nw.
+        scale = w.astype(jnp.float32) / nw
+        dst = jax.lax.broadcasted_iota(jnp.float32, (out_w, wmax), 0)
+        src = jax.lax.broadcasted_iota(jnp.float32, (out_w, wmax), 1)
+        pos = (dst + 0.5) * scale - 0.5
+        pos = jnp.clip(pos, 0.0, w.astype(jnp.float32) - 1.0)
+        cw = jnp.maximum(0.0, 1.0 - jnp.abs(src - pos))
+        cw = jnp.where(src < w.astype(jnp.float32), cw, 0.0)
+        cw = cw / jnp.maximum(jnp.sum(cw, axis=1, keepdims=True), 1e-6)
+        out = jnp.dot(resized_rows, cw.T,
+                      preferred_element_type=jnp.float32)   # [H, out_w]
+        # Pad region (x >= nw) takes gray 128.
+        xs_out = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1)
+        out = jnp.where(xs_out < nw, out, 128.0)
+        return (out / 255.0 - 0.5) / 0.5
+
+    return jax.vmap(one)(crops_u8, sizes)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+def _preprocess_kernel(sizes_ref, crop_ref, out_ref, *, out_h: int,
+                       out_w: int, hmax: int, wmax: int):
+    i = pl.program_id(0)
+    h = sizes_ref[i, 0]
+    w = sizes_ref[i, 1]
+
+    # Mosaic has no direct u8 -> f32 cast; hop through int32.
+    img = crop_ref[...].astype(jnp.int32).astype(jnp.float32)  # [Hmax, Wmax]
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (hmax, wmax), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (hmax, wmax), 1)
+    valid = (ys < h) & (xs < w)
+    mean = jnp.sum(jnp.where(valid, img, 0.0)) / jnp.maximum(1, h * w).astype(jnp.float32)
+    img = jnp.where(mean < 127.0, 255.0 - img, img)
+
+    hf = h.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    nw = jnp.clip(jnp.round(wf * out_h / jnp.maximum(1.0, hf)), 1.0,
+                  float(out_w))
+
+    # Row interpolation matrix [out_h, Hmax].
+    scale_y = hf / out_h
+    dsty = jax.lax.broadcasted_iota(jnp.int32, (out_h, hmax), 0).astype(jnp.float32)
+    srcy = jax.lax.broadcasted_iota(jnp.int32, (out_h, hmax), 1).astype(jnp.float32)
+    posy = jnp.clip((dsty + 0.5) * scale_y - 0.5, 0.0, hf - 1.0)
+    ry = jnp.maximum(0.0, 1.0 - jnp.abs(srcy - posy))
+    ry = jnp.where(srcy < hf, ry, 0.0)
+    ry = ry / jnp.maximum(jnp.sum(ry, axis=1, keepdims=True), 1e-6)
+
+    rows = jnp.dot(ry, img, preferred_element_type=jnp.float32)  # [H, Wmax]
+
+    # Column matrix [Wmax, out_w] transposed-build to keep lanes on out_w.
+    scale_x = wf / nw
+    dstx = jax.lax.broadcasted_iota(jnp.int32, (wmax, out_w), 1).astype(jnp.float32)
+    srcx = jax.lax.broadcasted_iota(jnp.int32, (wmax, out_w), 0).astype(jnp.float32)
+    posx = jnp.clip((dstx + 0.5) * scale_x - 0.5, 0.0, wf - 1.0)
+    cx = jnp.maximum(0.0, 1.0 - jnp.abs(srcx - posx))
+    cx = jnp.where(srcx < wf, cx, 0.0)
+    cx = cx / jnp.maximum(jnp.sum(cx, axis=0, keepdims=True), 1e-6)
+
+    out = jnp.dot(rows, cx, preferred_element_type=jnp.float32)  # [H, out_w]
+    xs_out = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1).astype(jnp.float32)
+    out = jnp.where(xs_out < nw, out, 128.0)
+    out_ref[...] = (out / 255.0 - 0.5) / 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "interpret"))
+def preprocess_lines_tpu(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
+                         out_h: int, out_w: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Pallas version of ``preprocess_lines_ref`` (grid over lines)."""
+    if not _HAS_PALLAS:
+        return preprocess_lines_ref(crops_u8, sizes, out_h, out_w)
+    n, hmax, wmax = crops_u8.shape
+    kernel = functools.partial(_preprocess_kernel, out_h=out_h, out_w=out_w,
+                               hmax=hmax, wmax=wmax)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, hmax, wmax), lambda i, s: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, out_h, out_w), lambda i, s: (i, 0, 0)),
+    )
+
+    def body(sizes_ref, crop_ref, out_ref):
+        kernel(sizes_ref, crop_ref.at[0], out_ref.at[0])
+
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.float32),
+        interpret=interpret,
+    )(sizes.astype(jnp.int32), crops_u8)
+
+
+def preprocess_lines(crops_u8, sizes, out_h: int, out_w: int):
+    """Backend dispatcher: Pallas kernel on TPU, pure-JAX twin elsewhere
+    (Pallas only supports interpret mode on the CPU backend)."""
+    backend = jax.default_backend()
+    if _HAS_PALLAS and backend not in ("cpu",):
+        return preprocess_lines_tpu(crops_u8, sizes, out_h, out_w)
+    return preprocess_lines_ref(crops_u8, sizes, out_h, out_w)
+
+
+def pack_crops(crops, pad_multiple: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side packing: list of variable [h, w] u8 arrays -> padded
+    [N, Hmax, Wmax] buffer + sizes [N, 2]. Hmax/Wmax round up to
+    ``pad_multiple`` to bound the number of compiled kernel shapes."""
+    n = len(crops)
+    hmax = max(c.shape[0] for c in crops)
+    wmax = max(c.shape[1] for c in crops)
+    rnd = lambda v: int(np.ceil(v / pad_multiple) * pad_multiple)
+    hmax, wmax = rnd(hmax), rnd(wmax)
+    buf = np.zeros((n, hmax, wmax), np.uint8)
+    sizes = np.zeros((n, 2), np.int32)
+    for i, c in enumerate(crops):
+        buf[i, : c.shape[0], : c.shape[1]] = c
+        sizes[i] = c.shape[:2]
+    return buf, sizes

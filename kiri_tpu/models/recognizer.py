@@ -178,7 +178,11 @@ def encode(variables: Dict[str, Any], images_u8: jnp.ndarray, cfg,
     dtype = compute_dtype(cfg)
     if images_u8.ndim == 4:  # [B,1,H,W] reference layout
         images_u8 = images_u8[:, 0]
-    x = normalize_u8(images_u8, dtype)          # [B,1,H,W]
+    if images_u8.dtype == jnp.uint8:
+        x = normalize_u8(images_u8, dtype)      # [B,1,H,W]
+    else:  # already normalized to [-1, 1] (e.g. by the Pallas preprocess
+        # kernel, kernels/resize.py)
+        x = images_u8.astype(dtype)[:, None]
     x = jnp.transpose(x, (0, 2, 3, 1))          # NHWC
 
     rngs = jax.random.split(rng, 2 + cfg.ENC_LAYERS) if rng is not None else None

@@ -79,3 +79,16 @@ def test_stream_final_text_matches_batch(engine, imgs):
     batch_text = engine.recognize_batch(imgs[:1], "ctc")[0][0]
     recs = list(engine.stream_records(imgs[0], "ctc"))
     assert recs[-1]["text"] == batch_text
+
+
+def test_recognize_crops_device_preprocess(engine):
+    """Device-preprocess path (Pallas/XLA resize) matches the host path when
+    crops are already at model height (resize degenerates to identity)."""
+    rng = np.random.default_rng(3)
+    crops = [np.asarray(rng.integers(128, 255, (48, w), np.uint8))
+             for w in (100, 160, 60)]
+    host = engine.recognize_batch(
+        np.stack([np.pad(c, ((0, 0), (0, 160 - c.shape[1])),
+                         constant_values=128) for c in crops]), "ctc")
+    dev = engine.recognize_crops(crops, "ctc")
+    assert [t for t, _ in dev] == [t for t, _ in host]
