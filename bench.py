@@ -76,11 +76,30 @@ def main() -> None:
 
     t0 = time.perf_counter()
     n_done = 0
+    all_out = []
     for i in range(0, len(imgs), BATCH):
         out = engine.recognize_batch(imgs[i: i + BATCH], "ctc")
+        all_out.extend(out)
         n_done += len(out)
     dt = time.perf_counter() - t0
     lines_per_sec = n_done / dt
+
+    # CER (meaningful only with a trained checkpoint; random weights -> ~1.0).
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for x, ca in enumerate(a, 1):
+            cur = [x]
+            for y, cb in enumerate(b, 1):
+                cur.append(min(prev[y] + 1, cur[y - 1] + 1,
+                               prev[y - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cers = [lev(t, o[0]) / max(1, len(t))
+            for t, o in zip([s["text"] for s in samples], all_out)]
+    avg_cer = float(np.mean(cers))
 
     # p50 single-line latency (the interactive metric).
     lat = []
@@ -96,6 +115,8 @@ def main() -> None:
         "unit": "lines/s",
         "vs_baseline": round(lines_per_sec / REFERENCE_LINES_PER_SEC, 2),
         "p50_line_latency_ms": round(p50_ms, 2),
+        "avg_cer": round(avg_cer, 4),
+        "trained_checkpoint": ckpt.exists(),
         "n_lines": n_done,
         "batch": BATCH,
     }

@@ -78,15 +78,19 @@ class TextDetector:
         self.legacy_detector = ImageProcessingTextDetector(**kwargs)
 
     def _find_default_model(self) -> Optional[str]:
-        names = {
-            "db": ["models/detector.safetensors", "detector.safetensors",
-                   os.path.join(os.path.dirname(__file__), "detector.safetensors")],
-            "craft": ["models/craft.safetensors", "craft.safetensors",
-                      os.path.join(os.path.dirname(__file__), "craft.safetensors")],
-        }[self.method]
-        for p in names:
-            if os.path.exists(p):
-                return p
+        fname = {"db": "detector.safetensors",
+                 "craft": "craft.safetensors"}[self.method]
+        pkg_dir = Path(__file__).resolve().parent
+        repo_root = pkg_dir.parent.parent
+        candidates = [
+            Path("models") / fname,
+            Path(fname),
+            pkg_dir / fname,
+            repo_root / "models" / fname,
+        ]
+        for p in candidates:
+            if p.exists():
+                return str(p)
         return None
 
     # --------------------------------------------------------------- lines

@@ -110,7 +110,42 @@ class OCR:
                           pkg_dir.parent / "models" / model_file.name):
             if candidate.exists():
                 return str(candidate)
+        # Repo-id heuristic: "org/name" with no file extension downloads
+        # from the HuggingFace hub (reference: kiri_ocr/core.py:123-131).
+        if "/" in model_path and not model_file.suffix:
+            downloaded = self._download_from_huggingface(model_path)
+            if downloaded:
+                return downloaded
         return model_path
+
+    def _download_from_huggingface(self, repo_id: str) -> Optional[str]:
+        """Fetch model + vocab from the HF hub (reference core.py:191-217).
+        Returns the local model path, or None when offline/unavailable."""
+        try:
+            from huggingface_hub import hf_hub_download
+        except Exception:
+            return None
+        try:
+            local = None
+            for fname in ("model.safetensors", "model.pt"):
+                try:
+                    local = hf_hub_download(repo_id=repo_id, filename=fname)
+                    break
+                except Exception:
+                    continue
+            if local is None:
+                return None
+            for extra in ("model_meta.json", "vocab.json", "vocab_auto.json",
+                          "vocab_char.json", "config.json"):
+                try:
+                    hf_hub_download(repo_id=repo_id, filename=extra)
+                except Exception:
+                    pass
+            return local
+        except Exception as e:
+            if self.verbose:
+                print(f"HF download failed for {repo_id}: {e}")
+            return None
 
     # --------------------------------------------------------- model loading
     def _load_model(self, model_path: str) -> None:

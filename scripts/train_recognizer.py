@@ -1,0 +1,66 @@
+"""Train the flagship recognizer on synthetic text lines -> models/model.safetensors.
+
+Produces the checkpoint that bench.py and the benchmark harness use for
+CER-at-throughput measurements. English-only when no Khmer-capable fonts
+exist on the host (the generator degrades gracefully; see data/synth.py).
+
+Usage: python scripts/train_recognizer.py [--samples 20000] [--epochs 12]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=20000)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--out-dir", default="models")
+    ap.add_argument("--img-w", type=int, default=640)
+    ap.add_argument("--enc-dim", type=int, default=256)
+    ap.add_argument("--khmer-ratio", type=float, default=0.3)
+    args = ap.parse_args()
+
+    from kiri_tpu.config import CFG
+    from kiri_tpu.data.synth import MultilingualDatasetGenerator, sample_text
+    from kiri_tpu.tokenizer import CharTokenizer, build_vocab_from_texts
+    from kiri_tpu.train.trainer import TrainConfig, train_loop
+
+    cfg = CFG(IMG_W=args.img_w, ENC_DIM=args.enc_dim)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    print(f"Generating {args.samples} synthetic lines...")
+    t0 = time.time()
+    gen = MultilingualDatasetGenerator(str(out / "_gen_cache"),
+                                       height=cfg.IMG_H, augment=True,
+                                       khmer_ratio=args.khmer_ratio)
+    samples = gen.generate_samples(args.samples)
+    n_val = max(64, len(samples) // 50)
+    val = samples[:n_val]
+    train = samples[n_val:]
+    print(f"  {len(train)} train / {len(val)} val in {time.time() - t0:.0f}s")
+
+    vocab_path = str(out / "vocab.json")
+    build_vocab_from_texts((s["text"] for s in samples), vocab_path)
+    tok = CharTokenizer(vocab_path, cfg)
+    print(f"  vocab: {tok.vocab_size} chars")
+
+    tc = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                     lr=args.lr, out_dir=str(out), log_every=100,
+                     save_steps=0)
+    trainer = train_loop(cfg, tok, tc, train, val, vocab_path=vocab_path)
+    print(f"Best val CTC exact-match: {trainer.best_val_acc * 100:.2f}%")
+    # train_loop writes best model to models/model.safetensors.
+
+
+if __name__ == "__main__":
+    main()
