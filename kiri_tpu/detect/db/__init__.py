@@ -326,6 +326,11 @@ def save_db_checkpoint(path, variables) -> None:
 
     import jax
 
+    # Force pending computation to settle before reading device buffers:
+    # the experimental axon backend's device_get can return stale data for
+    # arrays whose producing computation is still in flight.
+    variables = jax.block_until_ready(variables)
+
     flat = {}
 
     def walk(prefix, tree, out):

@@ -151,13 +151,28 @@ class RecognizerEngine:
         """Streaming chunk dicts for ONE line image; schema matches the
         reference streaming decoders exactly (kiri_ocr/model.py:689-1153)."""
         imgs = np.asarray(img_u8)[None] if img_u8.ndim == 2 else np.asarray(img_u8)
-        memp, ctc, ids, conf, est, n = self.encode_batch(imgs)
+        yield from self.stream_records_batch(imgs, method)[0]
+
+    def stream_records_batch(self, imgs_u8: np.ndarray, method: str
+                             ) -> List[List[Dict]]:
+        """Streaming records for N lines computed in ONE compiled decode.
+
+        The per-step history of the batched while_loop decoders is recorded
+        on device and replayed here, so a whole page streams with the same
+        chunk schema at batched throughput (the reference runs one eager
+        decode per region; this is the TPU answer to driver config #5).
+        """
+        imgs_u8 = np.asarray(imgs_u8)
+        if imgs_u8.shape[0] == 0:
+            return []
+        memp, ctc, ids, conf, est, n = self.encode_batch(imgs_u8)
 
         if method == "ctc":
-            yield from self._stream_ctc(np.asarray(ids)[0], ctc)
-            return
+            ids_np = np.asarray(ids)
+            return [list(self._stream_ctc(ids_np[i], ctc, i))
+                    for i in range(n)]
 
-        l_cap = self._step_cap(est, 1, memp.shape[1])
+        l_cap = self._step_cap(est, n, memp.shape[1])
         tl = jnp.asarray(np.asarray(est), jnp.int32)
         if method == "decoder":
             out = D.greedy_decode(
@@ -165,19 +180,19 @@ class RecognizerEngine:
                 eos_id=self.tok.dec_eos,
                 unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
                 bos_id=self.tok.dec_bos)
-            yield from self._stream_greedy(out)
-        else:
-            out = D.beam_search(
-                self.variables, memp, ctc, tl, conf, cfg=self.cfg,
-                k_beam=self.cfg.BEAM, l_cap=l_cap, record_history=True,
-                eos_id=self.tok.dec_eos,
-                unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
-                dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
-            yield from self._stream_beam(out)
+            return [list(self._stream_greedy(out, i)) for i in range(n)]
+        out = D.beam_search(
+            self.variables, memp, ctc, tl, conf, cfg=self.cfg,
+            k_beam=self.cfg.BEAM, l_cap=l_cap, record_history=True,
+            eos_id=self.tok.dec_eos,
+            unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+            dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
+        return [list(self._stream_beam(out, i)) for i in range(n)]
 
-    def _stream_ctc(self, best_ids: np.ndarray, ctc_logits) -> Generator[Dict, None, None]:
+    def _stream_ctc(self, best_ids: np.ndarray, ctc_logits,
+                    row: int = 0) -> Generator[Dict, None, None]:
         """CTC frame streaming (reference: model.py:689-775)."""
-        probs = np.asarray(jax.nn.softmax(ctc_logits[0], axis=-1))
+        probs = np.asarray(jax.nn.softmax(ctc_logits[row], axis=-1))
         max_probs = probs.max(axis=-1)
         decoded = ""
         prev = None
@@ -202,10 +217,11 @@ class RecognizerEngine:
                "confidence": float(max_probs.mean()), "step": step,
                "finished": True}
 
-    def _stream_greedy(self, out: D.DecodeOut) -> Generator[Dict, None, None]:
+    def _stream_greedy(self, out: D.DecodeOut,
+                       row: int = 0) -> Generator[Dict, None, None]:
         """Greedy AR streaming (reference: model.py:779-946)."""
-        steps = int(np.asarray(out.hist_steps)[0])
-        extra = np.asarray(out.hist_extra)[0]  # [S, 2] = (raw prob, token id)
+        steps = int(np.asarray(out.hist_steps)[row])
+        extra = np.asarray(out.hist_extra)[row]  # [S, 2] = (raw prob, token id)
         text = ""
         for s in range(steps):
             prob, tid = float(extra[s, 0]), int(extra[s, 1])
@@ -224,13 +240,14 @@ class RecognizerEngine:
             if finished:
                 break
 
-    def _stream_beam(self, out: D.DecodeOut) -> Generator[Dict, None, None]:
+    def _stream_beam(self, out: D.DecodeOut,
+                     row: int = 0) -> Generator[Dict, None, None]:
         """Beam streaming: best-hypothesis diff per step (model.py:949-1153)."""
-        steps = int(np.asarray(out.hist_steps)[0])
-        toks = np.asarray(out.hist_tokens)[0]
-        lens = np.asarray(out.hist_len)[0]
-        scores = np.asarray(out.hist_score)[0]
-        fins = np.asarray(out.hist_finished)[0]
+        steps = int(np.asarray(out.hist_steps)[row])
+        toks = np.asarray(out.hist_tokens)[row]
+        lens = np.asarray(out.hist_len)[row]
+        scores = np.asarray(out.hist_score)[row]
+        fins = np.asarray(out.hist_finished)[row]
         prev_text = ""
         for s in range(steps):
             ids = toks[s, 1:lens[s]]

@@ -257,16 +257,23 @@ class OCR:
                          verbose: bool = False) -> List[Dict]:
         """Detect + recognize; returns the reference result-dict list
         (box, text, confidence, det_confidence, line_number)."""
+        from .utils.profiling import StageTimer
+
+        timer = StageTimer()
         if verbose:
             print(f"\n📄 Processing: {image_path}")
             print(f"🔲 Box padding: {self.padding}px")
-        boxes, det_confs = self._detect_boxes(image_path, mode)
+        with timer.stage("detect"):
+            boxes, det_confs = self._detect_boxes(image_path, mode)
         if verbose:
             print(f"🔍 Detected {len(boxes)} regions")
 
-        img_gray = self._load_gray(image_path)
-        batch, kept = preprocess_regions(self.cfg, img_gray, boxes, extra_padding=5)
-        recognized = self.engine.recognize_batch(batch, self.decode_method)
+        with timer.stage("preprocess"):
+            img_gray = self._load_gray(image_path)
+            batch, kept = preprocess_regions(self.cfg, img_gray, boxes,
+                                             extra_padding=5)
+        with timer.stage("recognize"):
+            recognized = self.engine.recognize_batch(batch, self.decode_method)
 
         results = []
         for row, bi in enumerate(kept):
@@ -280,6 +287,9 @@ class OCR:
             })
             if verbose:
                 print(f"  {bi + 1:2d}. {text[:50]:50s} ({confidence * 100:.1f}%)")
+        if verbose:
+            print("⏱ Stage timing:")
+            print(timer.report())
         return results
 
     def process_document_streaming(self, image_path, mode: str = "lines",
@@ -318,10 +328,17 @@ class OCR:
 
     def extract_text_stream_chars(self, image_path, mode: str = "lines",
                                   decode_method: Optional[str] = None,
-                                  verbose: bool = False
+                                  verbose: bool = False,
+                                  batched: bool = True
                                   ) -> Generator[Dict, None, None]:
         """LLM-style character streaming with the reference chunk schema
-        (kiri_ocr/core.py:887-1026)."""
+        (kiri_ocr/core.py:887-1026).
+
+        batched=True (TPU default): ALL regions decode in one compiled call
+        with per-step history recorded on device, then chunks replay in
+        reading order — identical schema and content at batched throughput.
+        batched=False preserves the reference's region-at-a-time compute.
+        """
         if verbose:
             print(f"\n📄 Processing (char streaming): {image_path}")
         boxes, det_confs = self._detect_boxes(image_path, mode)
@@ -331,6 +348,11 @@ class OCR:
 
         img_gray = self._load_gray(image_path)
         all_region_texts: List[str] = []
+
+        if batched and total_regions > 1:
+            yield from self._stream_chars_batched(
+                img_gray, boxes, det_confs, decode_method, verbose)
+            return
 
         for region_num, (box, det_conf) in enumerate(zip(boxes, det_confs), 1):
             try:
@@ -391,6 +413,60 @@ class OCR:
                     "box": [int(v) for v in box],
                     "error": str(e),
                 }
+
+    def _stream_chars_batched(self, img_gray, boxes, det_confs,
+                              decode_method: Optional[str],
+                              verbose: bool) -> Generator[Dict, None, None]:
+        """One compiled decode for the whole page, then chunk replay."""
+        method = (self._normalize_decode_method(decode_method)
+                  if decode_method is not None else self.decode_method)
+        total_regions = len(boxes)
+        batch, kept = preprocess_regions(self.cfg, img_gray, boxes,
+                                         extra_padding=5)
+        record_lists = self.engine.stream_records_batch(batch, method)
+        by_index = {bi: recs for bi, recs in zip(kept, record_lists)}
+
+        all_region_texts: List[str] = []
+        for region_num, (box, det_conf) in enumerate(zip(boxes, det_confs), 1):
+            recs = by_index.get(region_num - 1)
+            if recs is None:
+                continue
+            yield {
+                "token": "", "text": "",
+                "cumulative_text": "\n".join(all_region_texts),
+                "region_number": region_num,
+                "total_regions": total_regions,
+                "step": 0, "region_finished": False,
+                "document_finished": False, "region_start": True,
+                "box": [int(v) for v in box],
+                "det_confidence": float(det_conf),
+            }
+            current_region_text = ""
+            for chunk in recs:
+                current_region_text = chunk["text"]
+                temp = all_region_texts + (
+                    [current_region_text] if current_region_text else [])
+                yield {
+                    "token": chunk["token"],
+                    "text": current_region_text,
+                    "cumulative_text": "\n".join(temp),
+                    "region_number": region_num,
+                    "total_regions": total_regions,
+                    "step": chunk["step"],
+                    "confidence": chunk["confidence"],
+                    "region_finished": chunk["finished"],
+                    "document_finished": chunk["finished"]
+                    and region_num == total_regions,
+                    "region_start": False,
+                    "box": [int(v) for v in box],
+                    "det_confidence": float(det_conf),
+                }
+                if chunk["finished"]:
+                    break
+            if current_region_text:
+                all_region_texts.append(current_region_text)
+            if verbose:
+                print(f"  {region_num:2d}. {current_region_text[:50]}")
 
     def extract_text_streaming(self, image_path, mode: str = "lines",
                                verbose: bool = False

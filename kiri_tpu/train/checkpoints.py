@@ -34,6 +34,11 @@ def save_checkpoint(path, variables, cfg: CFG, vocab_path: str = "",
 
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    # Settle pending computation first — the experimental axon TPU backend's
+    # device_get can return stale data for in-flight arrays.
+    variables = jax.block_until_ready(variables)
+    if opt_state is not None:
+        opt_state = jax.block_until_ready(opt_state)
     sd = to_torch_state_dict(variables, cfg)
     save_file(sd, str(path))
     meta = {
