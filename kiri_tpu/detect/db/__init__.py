@@ -326,10 +326,13 @@ def save_db_checkpoint(path, variables) -> None:
 
     import jax
 
-    # Force pending computation to settle before reading device buffers:
-    # the experimental axon backend's device_get can return stale data for
-    # arrays whose producing computation is still in flight.
-    variables = jax.block_until_ready(variables)
+    from ...utils.transfer import faithful_device_get
+
+    # Checksum-verified download: the experimental TPU backend can return
+    # wrong data for some arrays produced by donated computations
+    # (see utils/transfer.py).
+    variables = {"params": faithful_device_get(variables["params"]),
+                 "batch_stats": faithful_device_get(variables["batch_stats"])}
 
     flat = {}
 
@@ -339,7 +342,9 @@ def save_db_checkpoint(path, variables) -> None:
             if isinstance(v, dict):
                 walk(key, v, out)
             else:
-                out[key] = np.asarray(v, np.float32)
+                # C-contiguity required: raw-memory serialization scrambles
+                # stride-transposed arrays (see utils/transfer.py).
+                out[key] = np.ascontiguousarray(np.asarray(v, np.float32))
 
     walk("params", jax.device_get(variables["params"]), flat)
     walk("stats", jax.device_get(variables["batch_stats"]), flat)

@@ -34,11 +34,16 @@ def save_checkpoint(path, variables, cfg: CFG, vocab_path: str = "",
 
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    # Settle pending computation first — the experimental axon TPU backend's
-    # device_get can return stale data for in-flight arrays.
-    variables = jax.block_until_ready(variables)
+    # Checksum-verified download — the experimental axon TPU backend can
+    # return wrong data for arrays produced by donated computations
+    # (see utils/transfer.py).
+    from ..utils.transfer import faithful_device_get
+
+    variables = {**variables,
+                 "params": faithful_device_get(variables["params"]),
+                 "batch_stats": faithful_device_get(variables["batch_stats"])}
     if opt_state is not None:
-        opt_state = jax.block_until_ready(opt_state)
+        opt_state = faithful_device_get(opt_state)
     sd = to_torch_state_dict(variables, cfg)
     save_file(sd, str(path))
     meta = {

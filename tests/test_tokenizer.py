@@ -89,3 +89,21 @@ def test_save_roundtrip(vocab_file, tmp_path):
     tok.save(out)
     tok2 = CharTokenizer(out)
     assert tok2.token_to_id == tok.token_to_id
+
+
+def test_khmer_codepoints(tmp_path):
+    """Khmer cluster characters round-trip through both id spaces."""
+    import json as _json
+
+    khmer = [chr(c) for c in range(0x1780, 0x1790)] + ["ា", "ំ"]
+    vocab = {"<unk>": 0}
+    for i, ch in enumerate(khmer, start=1):
+        vocab[ch] = i
+    p = tmp_path / "kh.json"
+    p.write_text(_json.dumps(vocab, ensure_ascii=False))
+    tok = CharTokenizer(str(p))
+    text = "".join(khmer[:5]) + "ា"
+    assert tok.decode_ctc(tok.encode_ctc(text)) == text
+    assert tok.decode_dec(tok.encode_dec(text)) == text
+    ids = np.array([tok.encode_ctc(text) + [0]])
+    assert tok.decode_ctc_batch(ids)[0] == text
