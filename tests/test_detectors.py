@@ -196,3 +196,24 @@ def test_craft_train_step_decreases_loss():
         variables, opt_state, loss = step(variables, opt_state, batch)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("models/detector.safetensors").exists(),
+    reason="trained DB checkpoint not present")
+def test_trained_db_detector_e2e():
+    """The committed DB checkpoint must find every line on an unseen doc."""
+    from kiri_tpu.detect.db import DBDetector
+
+    det = DBDetector("models/detector.safetensors")
+    gen = DocumentGenerator(640, 640, seed=321)
+    doc = gen.generate()
+    results = det.detect_text(doc["image"])
+    boxes = [b for b, _ in results]
+    hit = sum(1 for (x, y, w, h) in doc["lines"]
+              if any(b[:, 0].min() <= x + w / 2 <= b[:, 0].max()
+                     and b[:, 1].min() <= y + h / 2 <= b[:, 1].max()
+                     for b in boxes))
+    assert hit >= 0.9 * len(doc["lines"]), (hit, len(doc["lines"]))
+    # Confidences are meaningful probabilities.
+    assert all(0.3 <= c <= 1.0 for _, c in results)
