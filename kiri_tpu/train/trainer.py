@@ -191,9 +191,15 @@ def collate(samples: List[Dict[str, Any]], tok: CharTokenizer,
     enc_ctc = [tok.encode_ctc(t)[: max_seq_len - 1] for t in texts]
     enc_dec = [tok.encode_dec(t)[: max_seq_len] for t in texts]
 
+    def _bucket(v: int) -> int:
+        # Pad target lengths to multiples of 16 so XLA compiles a handful of
+        # train-step shapes instead of one per batch (recompile per step
+        # otherwise dominates wall clock).
+        return min(max_seq_len, ((v + 15) // 16) * 16)
+
     b = len(samples)
-    lc = max(1, max((len(e) for e in enc_ctc), default=1))
-    ld = max(2, max((len(e) for e in enc_dec), default=2))
+    lc = _bucket(max(1, max((len(e) for e in enc_ctc), default=1)))
+    ld = _bucket(max(2, max((len(e) for e in enc_dec), default=2)))
     ctc_target = np.zeros((b, lc), np.int32)
     ctc_len = np.zeros((b,), np.int32)
     dec_inp = np.zeros((b, ld - 1), np.int32)
