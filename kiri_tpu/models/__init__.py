@@ -1,0 +1,4 @@
+"""Model definitions (pure-function parameter trees)."""
+from . import layers, recognizer
+
+__all__ = ["layers", "recognizer"]

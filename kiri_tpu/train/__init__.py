@@ -1,0 +1,4 @@
+"""Training: trainer loop, checkpoints."""
+from . import checkpoints, trainer
+
+__all__ = ["checkpoints", "trainer"]

@@ -38,19 +38,23 @@ def test_collate_shapes(tok):
     assert batch["ctc_target"].shape[0] == 4
     assert batch["ctc_len"].tolist() == [6] * 4
     assert batch["dec_inp"].shape == batch["dec_tgt"].shape
-    # dec_inp starts with bos; dec_tgt ends with eos.
+    # dec_inp starts with bos; each dec_tgt row contains exactly one eos
+    # (tail is pad after length bucketing).
     assert (batch["dec_inp"][:, 0] == tok.dec_bos).all()
-    assert (batch["dec_tgt"][:, -1] == tok.dec_eos).all()
-    # shifted relationship
-    np.testing.assert_array_equal(batch["dec_inp"][:, 1:],
-                                  batch["dec_tgt"][:, :-1])
+    assert ((batch["dec_tgt"] == tok.dec_eos).sum(axis=1) == 1).all()
+    # shifted relationship within each row's valid region (tail is pad)
+    for i in range(4):
+        L = int(np.argmax(batch["dec_tgt"][i] == tok.dec_eos))
+        np.testing.assert_array_equal(batch["dec_inp"][i, 1: L + 1],
+                                      batch["dec_tgt"][i, :L])
 
 
 def test_collate_truncation(tok):
     long = [{"image": np.zeros((48, 160), np.uint8), "text": "ab" * 400}]
     batch = collate(long, tok, max_seq_len=16)
     assert batch["dec_inp"].shape[1] <= 16
-    assert batch["ctc_target"].shape[1] <= 15
+    assert batch["ctc_target"].shape[1] <= 16  # bucketed to multiple of 16
+    assert int(batch["ctc_len"][0]) <= 15
 
 
 def test_loss_decreases_overfit(tok):
