@@ -114,13 +114,31 @@ class ImageRenderer:
         bbox = font.getbbox(text)
         tw = max(1, bbox[2] - bbox[0])
         th = max(1, bbox[3] - bbox[1])
-        w = tw + 2 * self.pad
-        h = th + 2 * self.pad
+        # Crop jitter: detector crops at inference have variable margins
+        # (smart padding + 5px recognizer padding), so train with per-side
+        # margin jitter instead of a fixed frame.
+        if self.augment:
+            pl, pr = rng.randint(1, 2 * self.pad), rng.randint(1, 2 * self.pad)
+            pt, pb = rng.randint(1, 2 * self.pad), rng.randint(1, 2 * self.pad)
+        else:
+            pl = pr = pt = pb = self.pad
+        w = tw + pl + pr
+        h = th + pt + pb
         bg = rng.randint(235, 255) if self.augment else 255
         fg = rng.randint(0, 40) if self.augment else 0
         img = Image.new("L", (w, h), bg)
-        ImageDraw.Draw(img).text((self.pad - bbox[0], self.pad - bbox[1]),
-                                 text, fill=fg, font=font)
+        draw = ImageDraw.Draw(img)
+        draw.text((pl - bbox[0], pt - bbox[1]), text, fill=fg, font=font)
+        # Edge artifacts: fragments of neighboring lines clipped at the
+        # top/bottom border, as real detector crops contain.
+        if self.augment and rng.random() < 0.35:
+            frag = text[: rng.randint(2, max(3, len(text) // 2))]
+            if rng.random() < 0.5:
+                fy = -th + rng.randint(2, max(3, pt // 2) + 2)  # top edge
+            else:
+                fy = h - rng.randint(2, max(3, pb // 2) + 2)    # bottom edge
+            draw.text((rng.randint(0, max(1, w // 3)), fy), frag,
+                      fill=fg, font=font)
         arr = np.asarray(img, dtype=np.uint8)
         if self.augment:
             arr = self._augment(arr, rng)
