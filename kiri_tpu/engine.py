@@ -169,7 +169,11 @@ class RecognizerEngine:
 
         if method == "ctc":
             ids_np = np.asarray(ids)
-            return [list(self._stream_ctc(ids_np[i], ctc, i))
+            # One device softmax + download for the whole page (per-row
+            # round-trips dominate streaming latency otherwise).
+            max_probs = np.asarray(
+                jnp.max(jax.nn.softmax(ctc, axis=-1), axis=-1))
+            return [list(self._stream_ctc_row(ids_np[i], max_probs[i]))
                     for i in range(n)]
 
         l_cap = self._step_cap(est, n, memp.shape[1])
@@ -193,7 +197,10 @@ class RecognizerEngine:
                     row: int = 0) -> Generator[Dict, None, None]:
         """CTC frame streaming (reference: model.py:689-775)."""
         probs = np.asarray(jax.nn.softmax(ctc_logits[row], axis=-1))
-        max_probs = probs.max(axis=-1)
+        yield from self._stream_ctc_row(best_ids, probs.max(axis=-1))
+
+    def _stream_ctc_row(self, best_ids: np.ndarray, max_probs: np.ndarray
+                        ) -> Generator[Dict, None, None]:
         decoded = ""
         prev = None
         step = 0
