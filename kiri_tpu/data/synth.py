@@ -260,12 +260,19 @@ class DatasetGenerator:
             return None
 
     def generate_samples(self, num_samples: int,
-                         texts: Optional[Sequence[str]] = None
+                         texts: Optional[Sequence[str]] = None,
+                         min_words: int = 1, max_words: int = 14
                          ) -> List[Dict[str, object]]:
-        """In-memory samples for the Trainer: [{image u8 [H,W'], text}]."""
+        """In-memory samples for the Trainer: [{image u8 [H,W'], text}].
+
+        max_words defaults high enough to cover full-width document lines —
+        an AR decoder trained only on short lines hallucinates/repeats past
+        its training length distribution.
+        """
         out = []
         for i in range(num_samples):
-            text = texts[i % len(texts)] if texts else sample_text(self.rng)
+            text = (texts[i % len(texts)] if texts
+                    else sample_text(self.rng, min_words, max_words))
             img = self.generate_one(text)
             if img is not None:
                 out.append({"image": img, "text": text})
@@ -300,13 +307,14 @@ class MultilingualDatasetGenerator(DatasetGenerator):
             words.append("".join(chars))
         return " ".join(words)
 
-    def generate_samples(self, num_samples: int, texts=None):
+    def generate_samples(self, num_samples: int, texts=None,
+                         min_words: int = 1, max_words: int = 14):
         out = []
         for _ in range(num_samples):
             if self.rng.random() < self.khmer_ratio:
                 text = self._sample_khmer()
             else:
-                text = sample_text(self.rng)
+                text = sample_text(self.rng, min_words, max_words)
             img = self.generate_one(text)
             if img is not None:
                 out.append({"image": img, "text": text})

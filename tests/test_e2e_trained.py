@@ -1,0 +1,143 @@
+"""End-to-end tests with the committed trained checkpoints.
+
+Skipped entirely when models/ lacks the trained files (fresh clones before
+training). These are the driver-config analogues (BASELINE.json):
+#1 single line fast, #2 DB + fast extract_text, #3 accurate decode,
+#4 beam + CRAFT, #5 streaming.
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+MODELS = Path("models")
+HAVE_REC = (MODELS / "model.safetensors").exists()
+HAVE_DB = (MODELS / "detector.safetensors").exists()
+HAVE_CRAFT = (MODELS / "craft.safetensors").exists()
+
+pytestmark = pytest.mark.skipif(not HAVE_REC,
+                                reason="trained recognizer not present")
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def ocr_fast():
+    from kiri_tpu.pipeline import OCR
+
+    return OCR(str(MODELS / "model.safetensors"), det_method="db" if HAVE_DB
+               else "legacy",
+               det_model_path=str(MODELS / "detector.safetensors")
+               if HAVE_DB else None,
+               decode_method="fast")
+
+
+@pytest.fixture(scope="module")
+def line(ocr_fast, tmp_path_factory):
+    import random
+
+    from kiri_tpu.data.synth import (DatasetGenerator, FontManager,
+                                     ImageRenderer, sample_text)
+
+    tmp = tmp_path_factory.mktemp("e2e")
+    fonts = FontManager()
+    rng = random.Random(11)
+    rend = ImageRenderer(height=48, augment=False)
+    charset = "".join(t for t in ocr_fast.tokenizer.token_to_id
+                      if len(t) == 1)
+    text = sample_text(rng, 3, 6, charset)
+    font = fonts.get(fonts.english_fonts[0], 32)
+    img = rend.render(text, font, rng)
+    p = tmp / "line.png"
+    Image.fromarray(img).save(p)
+    return str(p), text
+
+
+def test_config1_single_line_fast(ocr_fast, line):
+    path, gt = line
+    text, conf = ocr_fast.recognize_single_line_image(path)
+    assert text == gt, (text, gt)
+    assert conf > 0.8
+
+
+@pytest.fixture(scope="module")
+def document(tmp_path_factory):
+    from kiri_tpu.data.docsynth import DocumentGenerator
+
+    tmp = tmp_path_factory.mktemp("docs")
+    gen = DocumentGenerator(640, 640, seed=4321, augment=False)
+    doc = gen.generate()
+    p = tmp / "doc.png"
+    Image.fromarray(doc["image"]).save(p)
+    return str(p), doc
+
+
+@pytest.mark.skipif(not HAVE_DB, reason="trained DB detector not present")
+def test_config2_db_fast_extract_text(ocr_fast, document):
+    path, doc = document
+    text, results = ocr_fast.extract_text(path)
+    assert len(results) == len(doc["lines"])
+    gt = "\n".join(doc["texts"])
+    cer = _lev(gt, text) / max(1, len(gt))
+    assert cer < 0.08, cer
+
+
+@pytest.mark.skipif(not HAVE_DB, reason="trained DB detector not present")
+def test_config3_accurate_decode(document):
+    from kiri_tpu.pipeline import OCR
+
+    ocr = OCR(str(MODELS / "model.safetensors"), det_method="db",
+              det_model_path=str(MODELS / "detector.safetensors"),
+              decode_method="accurate")
+    path, doc = document
+    text, results = ocr.extract_text(path)
+    gt = "\n".join(doc["texts"])
+    cer = _lev(gt, text) / max(1, len(gt))
+    assert cer < 0.12, cer
+
+
+@pytest.mark.skipif(not HAVE_CRAFT, reason="trained CRAFT not present")
+def test_config4_beam_with_craft(document):
+    from kiri_tpu.pipeline import OCR
+
+    ocr = OCR(str(MODELS / "model.safetensors"), det_method="craft",
+              det_model_path=str(MODELS / "craft.safetensors"),
+              decode_method="beam")
+    path, doc = document
+    text, results = ocr.extract_text(path)
+    assert ocr.detector.method == "craft"
+    assert results, "no regions from CRAFT"
+    # CRAFT detects words; merged lines may differ in count — require that
+    # most GT words appear in the output.
+    gt_words = [w for t in doc["texts"] for w in t.split()]
+    found = sum(1 for w in gt_words if w in text)
+    assert found >= 0.6 * len(gt_words), (found, len(gt_words))
+
+
+@pytest.mark.skipif(not HAVE_DB, reason="trained DB detector not present")
+def test_config5_streaming(ocr_fast, document):
+    path, doc = document
+    chunks = list(ocr_fast.extract_text_stream_chars(path))
+    assert chunks[-1]["document_finished"]
+    final = chunks[-1]["cumulative_text"]
+    gt = "\n".join(doc["texts"])
+    cer = _lev(gt, final) / max(1, len(gt))
+    assert cer < 0.08, cer
+    # Token stream concatenation reconstructs each region's text.
+    region_text = {}
+    for c in chunks:
+        if not c.get("region_start"):
+            region_text[c["region_number"]] = c["text"]
+    assert "".join(region_text.values())
