@@ -117,6 +117,7 @@ def _build_parser() -> argparse.ArgumentParser:
     gd.add_argument("--num-val", type=int, default=200)
     gd.add_argument("--image-size", type=int, default=640)
     gd.add_argument("--kind", choices=["db", "craft", "both"], default="both")
+    gd.add_argument("--khmer-ratio", type=float, default=0.0)
 
     td = sub.add_parser("train-detector", help="Train a text detector")
     td.add_argument("--detector", choices=["db", "craft"], default="db")
@@ -308,10 +309,10 @@ def run_generate_detector(args) -> None:
     out = Path(args.output)
     generate_detector_dataset(str(out / "train"), args.num_train,
                               args.image_size, args.image_size,
-                              kind=args.kind)
+                              kind=args.kind, khmer_ratio=args.khmer_ratio)
     generate_detector_dataset(str(out / "val"), args.num_val,
                               args.image_size, args.image_size, seed=1337,
-                              kind=args.kind)
+                              kind=args.kind, khmer_ratio=args.khmer_ratio)
     print(f"✓ Detector dataset -> {out}")
 
 

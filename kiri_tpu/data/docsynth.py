@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont
 
-from .synth import FontManager, sample_text
+from .synth import FontManager, sample_khmer_text, sample_text
 
 LAYOUTS = ("single_column", "two_column", "title_paragraph", "sparse",
            "dense", "mixed_sizes")
@@ -30,12 +30,13 @@ class DocumentGenerator:
 
     def __init__(self, width: int = 640, height: int = 640,
                  fonts: Optional[FontManager] = None, seed: int = 42,
-                 augment: bool = True):
+                 augment: bool = True, khmer_ratio: float = 0.0):
         self.width = width
         self.height = height
         self.fonts = fonts or FontManager(sizes=(18, 22, 26, 30, 34))
         self.rng = random.Random(seed)
         self.augment = augment
+        self.khmer_ratio = khmer_ratio if self.fonts.khmer_fonts else 0.0
 
     # ------------------------------------------------------------ rendering
     def generate(self) -> Dict[str, object]:
@@ -53,7 +54,11 @@ class DocumentGenerator:
         for (rx, ry, rw, rh, size) in regions:
             y = ry
             while y + size * 2 < ry + rh:
-                text = sample_text(self.rng, 2, max(2, rw // (size)))
+                if self.rng.random() < self.khmer_ratio:
+                    text = sample_khmer_text(self.rng, 1,
+                                             max(1, rw // (2 * size)))
+                else:
+                    text = sample_text(self.rng, 2, max(2, rw // (size)))
                 ok = self._draw_line(draw, text, rx, y, rw, size,
                                      lines, texts, chars)
                 y += int(size * self.rng.uniform(1.6, 2.4))
@@ -258,13 +263,14 @@ def craft_ground_truth(shape: Tuple[int, int],
 # ---------------------------------------------------------------------------
 def generate_detector_dataset(output_dir: str, num_samples: int,
                               width: int = 640, height: int = 640,
-                              seed: int = 42, kind: str = "both") -> str:
+                              seed: int = 42, kind: str = "both",
+                              khmer_ratio: float = 0.0) -> str:
     """Writes images/, annotations.json with line + char boxes, and .npy GT
     maps for the requested detector kind ('db' | 'craft' | 'both')."""
     out = Path(output_dir)
     (out / "images").mkdir(parents=True, exist_ok=True)
     (out / "gt").mkdir(exist_ok=True)
-    gen = DocumentGenerator(width, height, seed=seed)
+    gen = DocumentGenerator(width, height, seed=seed, khmer_ratio=khmer_ratio)
     annotations = []
     for i in range(num_samples):
         doc = gen.generate()

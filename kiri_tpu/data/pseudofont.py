@@ -1,0 +1,230 @@
+"""Procedural pseudo-glyph font for scripts with no host font (Khmer here).
+
+The reference ships Khmer TTFs and routes Khmer text to them with tofu
+detection (reference: kiri_ocr/generator.py:18-164). This host has no
+Khmer-capable font and no egress, so the generators would silently degrade
+to English-only — making the bilingual half of the product untrainable and
+untestable. This module closes that gap with a deterministic procedural
+renderer: every codepoint gets a distinct, reproducible glyph (random-walk
+strokes on a lattice, seeded by the codepoint), and Khmer clusters are
+composited the way the script behaves — base consonants full-height,
+dependent vowels/signs attached above, below, or after the preceding base.
+
+``PseudoGlyphFont`` implements the subset of the PIL ``FreeTypeFont``
+interface the generators use — ``getbbox(text)`` and the ``getmask(text,
+mode)`` protocol that ``ImageDraw.text`` consumes — so ``FontManager`` can
+hand it out wherever a real TTF would go, with zero changes to rendering
+call sites.
+
+Style variants (``pseudo://khmer/<k>``) vary stroke width, slant and the
+glyph seed so the training pool has font diversity like the reference's
+10-Khmer-font pool.
+"""
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+PSEUDO_SCHEME = "pseudo://khmer/"
+N_STYLES = 4
+
+_KH = 0x1780
+# Khmer block classification (U+1780..U+17FF):
+_CONS_END = 0x17A2          # consonants 1780..17A2 -> full base glyphs
+_INDEP_END = 0x17B3         # independent vowels 17A3..17B3 -> base glyphs
+_INVISIBLE = {0x17B4, 0x17B5}   # KIV AQ/AA: invisible combining, skip
+_RIGHT_MARKS = {0x17B6, 0x17C7, 0x17C8}          # spacing right vowels/signs
+_ABOVE_MARKS = ({0x17B7, 0x17B8, 0x17B9, 0x17BA, 0x17C6} |
+                set(range(0x17C9, 0x17D2)) | {0x17D3, 0x17DD})
+_BELOW_MARKS = {0x17BB, 0x17BC, 0x17BD, 0x17D2}  # incl. coeng as below mark
+_TWO_PART = set(range(0x17BE, 0x17C6))           # e/ae/ai/o/au etc. -> right
+
+
+def _khmer_class(cp: int) -> str:
+    """'base' | 'above' | 'below' | 'right' | 'skip' for Khmer codepoints,
+    'base' for everything else printable."""
+    if cp in _INVISIBLE:
+        return "skip"
+    if cp in _ABOVE_MARKS:
+        return "above"
+    if cp in _BELOW_MARKS:
+        return "below"
+    if cp in _RIGHT_MARKS or cp in _TWO_PART:
+        return "right"
+    return "base"
+
+
+class PseudoGlyphFont:
+    """Deterministic procedural font. One instance per (style, size)."""
+
+    def __init__(self, size: int, style: int = 0):
+        self.size = int(size)
+        self.style = int(style) % N_STYLES
+        s = self.size
+        # Vertical metrics (all relative to the line origin at y=0).
+        self._above_y = 0
+        self._body_y = round(0.26 * s)
+        self._body_h = round(0.72 * s)
+        self._below_y = self._body_y + self._body_h + max(1, round(0.03 * s))
+        self._height = self._below_y + round(0.26 * s)
+        self._adv_base = round(0.68 * s)
+        self._adv_right = round(0.42 * s)
+        self._adv_space = round(0.52 * s)
+        self._glyphs: Dict[Tuple[int, str], np.ndarray] = {}
+
+    # ------------------------------------------------------------- metrics
+    def _advances(self, text: str) -> List[int]:
+        """Per-codepoint advance widths."""
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if ch == " " or ch == " ":
+                out.append(self._adv_space)
+                continue
+            cls = _khmer_class(cp)
+            if cls == "base":
+                out.append(self._adv_base)
+            elif cls == "right":
+                out.append(self._adv_right)
+            else:  # above/below/skip: zero-advance combining
+                out.append(0)
+        return out
+
+    def getlength(self, text: str, *args, **kwargs) -> int:
+        return sum(self._advances(text))
+
+    def getbbox(self, text: str, *args, **kwargs):
+        """(left, top, right, bottom) with origin at the layout top-left,
+        mirroring FreeTypeFont.getbbox usage in the generators."""
+        return (0, 0, self.getlength(text), self._height)
+
+    # ------------------------------------------------------------- glyphs
+    def _glyph(self, cp: int, cls: str) -> np.ndarray:
+        """White-on-black uint8 mask for one codepoint, cached."""
+        key = (cp, cls)
+        got = self._glyphs.get(key)
+        if got is not None:
+            return got
+        s = self.size
+        if cls == "base":
+            w, h = max(3, round(0.60 * s)), self._body_h
+            n_seg = 6
+        elif cls == "right":
+            w, h = max(2, round(0.34 * s)), self._body_h
+            n_seg = 4
+        else:  # above / below diacritics
+            w, h = max(2, round(0.42 * s)), max(2, round(0.24 * s))
+            n_seg = 3
+        rng = random.Random((cp << 4) | self.style)
+        img = Image.new("L", (w, h), 0)
+        draw = ImageDraw.Draw(img)
+        stroke = max(1, round(s * (0.055 + 0.012 * self.style)))
+        # Random walk over a 5x5 lattice: connected strokes, distinct and
+        # reproducible per codepoint.
+        lat = [(round(x * (w - 1) / 4), round(y * (h - 1) / 4))
+               for y in range(5) for x in range(5)]
+        pt = rng.choice(lat)
+        for _ in range(n_seg + rng.randint(0, 2)):
+            nxt = rng.choice(lat)
+            while nxt == pt:
+                nxt = rng.choice(lat)
+            draw.line([pt, nxt], fill=255, width=stroke)
+            pt = nxt
+        # Khmer glyphs are loopy: add a deterministic ellipse element.
+        if cls == "base" and rng.random() < 0.6:
+            cx, cy = rng.randint(0, max(0, w - 4)), rng.randint(0, max(0, h - 4))
+            rw = rng.randint(3, max(4, w // 2))
+            rh = rng.randint(3, max(4, h // 2))
+            draw.ellipse([cx, cy, min(w - 1, cx + rw), min(h - 1, cy + rh)],
+                         outline=255, width=stroke)
+        arr = np.asarray(img, dtype=np.uint8)
+        # Slant shear per style (cheap italic-like variety).
+        if self.style >= 2 and h > 2:
+            shift = (np.arange(h) * (0.12 * (self.style - 1)) *
+                     (s / max(1, h))).astype(int)
+            sheared = np.zeros((h, w + int(shift.max()) + 1), np.uint8)
+            for row in range(h):
+                sheared[row, shift[row]:shift[row] + w] = arr[row]
+            arr = sheared[:, :w] if sheared.shape[1] > w else sheared
+        self._glyphs[key] = arr
+        return arr
+
+    # ------------------------------------------------------------ rendering
+    def render(self, text: str) -> np.ndarray:
+        """Render to a white-on-black uint8 [H, W] mask with cluster layout."""
+        placements: List[Tuple[np.ndarray, int, int]] = []
+        pen = 0
+        last_base = (0, self._adv_base)  # (x, w) of last base glyph
+        n_above = n_below = 0
+        for ch in text:
+            cp = ord(ch)
+            if ch in (" ", " "):
+                pen += self._adv_space
+                last_base = (pen, self._adv_base)
+                n_above = n_below = 0
+                continue
+            cls = _khmer_class(cp)
+            if cls == "skip":
+                continue
+            g = self._glyph(cp, cls)
+            gh, gw = g.shape
+            if cls == "base":
+                x, y = pen + max(0, (self._adv_base - gw) // 2), self._body_y
+                last_base = (pen, self._adv_base)
+                n_above = n_below = 0
+                pen += self._adv_base
+            elif cls == "right":
+                x, y = pen + 1, self._body_y
+                pen += self._adv_right
+            elif cls == "above":
+                bx, bw = last_base
+                x = bx + max(0, (bw - gw) // 2) + n_above * (gw // 3)
+                y = self._above_y
+                n_above += 1
+            else:  # below
+                bx, bw = last_base
+                x = bx + max(0, (bw - gw) // 2) + n_below * (gw // 3)
+                y = self._below_y
+                n_below += 1
+            placements.append((g, x, y))
+        # Canvas covers the full advance width plus any overhanging mark
+        # (an isolated combining mark has zero advance but visible ink).
+        width = max(1, self.getlength(text),
+                    *(x + g.shape[1] for g, x, _ in placements or
+                      [(np.zeros((1, 1), np.uint8), 0, 0)]))
+        canvas = np.zeros((self._height, width), np.uint8)
+        for g, x, y in placements:
+            gh, gw = g.shape
+            x0, y0 = max(0, x), max(0, y)
+            x1 = min(width, x + gw)
+            y1 = min(self._height, y + gh)
+            if x1 > x0 and y1 > y0:
+                np.maximum(canvas[y0:y1, x0:x1],
+                           g[: y1 - y0, : x1 - x0],
+                           out=canvas[y0:y1, x0:x1])
+        return canvas
+
+    def getmask(self, text: str, mode: str = "", *args, **kwargs):
+        """ImageDraw.text protocol: return an ImagingCore mask."""
+        arr = self.render(text)
+        img = Image.fromarray(arr, "L")
+        if mode == "1":
+            img = img.point(lambda v: 255 if v >= 128 else 0)
+        return img.im
+
+
+def is_pseudo_path(path: str) -> bool:
+    return isinstance(path, str) and path.startswith(PSEUDO_SCHEME)
+
+
+def pseudo_font_paths() -> List[str]:
+    """Virtual 'font file paths' for the pseudo-Khmer style pool."""
+    return [f"{PSEUDO_SCHEME}{k}" for k in range(N_STYLES)]
+
+
+def load_pseudo_font(path: str, size: int) -> PseudoGlyphFont:
+    style = int(path[len(PSEUDO_SCHEME):] or 0)
+    return PseudoGlyphFont(size, style)

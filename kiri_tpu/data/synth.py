@@ -19,6 +19,9 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont
 
+from .pseudofont import (is_pseudo_path, load_pseudo_font,
+                         pseudo_font_paths)
+
 try:
     import cv2
 
@@ -47,7 +50,8 @@ class FontManager:
     """
 
     def __init__(self, font_dirs: Optional[Sequence[str]] = None,
-                 sizes: Sequence[int] = (24, 28, 32, 36, 40, 44)):
+                 sizes: Sequence[int] = (24, 28, 32, 36, 40, 44),
+                 allow_pseudo: bool = True):
         self.sizes = list(sizes)
         self.font_paths = self._discover(font_dirs or _FONT_DIRS)
         self._cache: Dict[Tuple[str, int], ImageFont.FreeTypeFont] = {}
@@ -55,6 +59,12 @@ class FontManager:
                               if self._supports(p, "Ag1")]
         self.khmer_fonts = [p for p in self.font_paths
                             if self._supports(p, "កខ")]
+        # No Khmer-capable TTF on this host: fall back to the deterministic
+        # procedural glyph pool so the bilingual paths stay trainable
+        # (see pseudofont.py; reference ships real Khmer TTFs instead).
+        if allow_pseudo and not self.khmer_fonts:
+            self.khmer_fonts = pseudo_font_paths()
+            self.font_paths = self.font_paths + self.khmer_fonts
 
     @staticmethod
     def _discover(dirs: Sequence[str]) -> List[str]:
@@ -69,7 +79,10 @@ class FontManager:
     def get(self, path: str, size: int) -> ImageFont.FreeTypeFont:
         key = (path, size)
         if key not in self._cache:
-            self._cache[key] = ImageFont.truetype(path, size)
+            if is_pseudo_path(path):
+                self._cache[key] = load_pseudo_font(path, size)
+            else:
+                self._cache[key] = ImageFont.truetype(path, size)
         return self._cache[key]
 
     def _supports(self, path: str, probe: str) -> bool:
@@ -188,28 +201,82 @@ _EN_WORDS = ("the quick brown fox jumps over lazy dog a and to of in is it "
              "this from or had by hot word but what some we can out other "
              "were all there when up use your how said an each she").split()
 
+# Every non-space printable ASCII char: guarantees full-charset coverage in
+# training text via the occasional "soup" word (round 1's observed-text-only
+# vocab was missing 9 uppercase letters the word list never produced).
+_ASCII_SOUP = string.digits + string.ascii_letters + string.punctuation
+
 
 def sample_text(rng: random.Random, min_words: int = 1, max_words: int = 8,
                 charset: Optional[str] = None) -> str:
-    """Random English-ish line; mixes words, digits and punctuation."""
+    """Random English-ish line; mixes words, digits, punctuation, and rare
+    random-ASCII 'soup' words so every printable char appears in training."""
     n = rng.randint(min_words, max_words)
     words = []
     for _ in range(n):
         r = rng.random()
-        if r < 0.75:
+        if r < 0.70:
             w = rng.choice(_EN_WORDS)
             if rng.random() < 0.2:
                 w = w.capitalize()
-        elif r < 0.9:
+            elif rng.random() < 0.06:
+                w = w.upper()
+        elif r < 0.85:
             w = "".join(rng.choice(string.digits)
                         for _ in range(rng.randint(1, 5)))
-        else:
+        elif r < 0.93:
             w = rng.choice(_EN_WORDS) + rng.choice(".,!?:;")
+        else:
+            w = "".join(rng.choice(_ASCII_SOUP)
+                        for _ in range(rng.randint(2, 6)))
         words.append(w)
     text = " ".join(words)
     if charset is not None:
         text = "".join(c for c in text if c in charset) or "a"
     return text
+
+
+_KHMER_CONS = [chr(c) for c in range(0x1780, 0x17A3)]
+_KHMER_INDEP = [chr(c) for c in range(0x17A5, 0x17B4)]
+_KHMER_VOWELS = [chr(c) for c in range(0x17B6, 0x17C6)]
+_KHMER_SIGNS = [chr(c) for c in (0x17C6, 0x17C7, 0x17C9, 0x17CA, 0x17CB,
+                                 0x17CC, 0x17CD, 0x17D0)]
+_KHMER_DIGITS = [chr(c) for c in range(0x17E0, 0x17EA)]
+
+
+def sample_khmer_word(rng: random.Random) -> str:
+    """One Khmer 'word': consonant clusters with dependent vowels/signs,
+    occasionally digits or an independent vowel."""
+    r = rng.random()
+    if r < 0.06:
+        return "".join(rng.choice(_KHMER_DIGITS)
+                       for _ in range(rng.randint(1, 4)))
+    chars = []
+    if r < 0.12:
+        chars.append(rng.choice(_KHMER_INDEP))
+    for _ in range(rng.randint(1, 5)):
+        chars.append(rng.choice(_KHMER_CONS))
+        if rng.random() < 0.15:  # coeng stack: subscript consonant
+            chars.append("្")
+            chars.append(rng.choice(_KHMER_CONS))
+        if rng.random() < 0.55:
+            chars.append(rng.choice(_KHMER_VOWELS))
+        if rng.random() < 0.18:
+            chars.append(rng.choice(_KHMER_SIGNS))
+    return "".join(chars)
+
+
+def sample_khmer_text(rng: random.Random, min_words: int = 1,
+                      max_words: int = 6, mixed_ratio: float = 0.15) -> str:
+    """Khmer line; with probability `mixed_ratio` per word, an English word
+    is interleaved (mixed-script lines, as bilingual documents contain)."""
+    words = []
+    for _ in range(rng.randint(min_words, max_words)):
+        if rng.random() < mixed_ratio:
+            words.append(rng.choice(_EN_WORDS))
+        else:
+            words.append(sample_khmer_word(rng))
+    return " ".join(words)
 
 
 class DatasetGenerator:
@@ -227,6 +294,10 @@ class DatasetGenerator:
         self.renderer = ImageRenderer(height=height, augment=augment)
         self.rng = random.Random(seed)
 
+    def _sample_line(self, min_words: int = 1, max_words: int = 8) -> str:
+        """Text sampler hook; subclasses override for other scripts."""
+        return sample_text(self.rng, min_words, max_words)
+
     def generate_dataset(self, num_samples: int,
                          texts: Optional[Sequence[str]] = None,
                          append: bool = False) -> str:
@@ -239,7 +310,7 @@ class DatasetGenerator:
         with labels_path.open(mode, encoding="utf-8") as f:
             for i in range(num_samples):
                 text = (texts[i % len(texts)] if texts
-                        else sample_text(self.rng))
+                        else self._sample_line())
                 sample = self.generate_one(text)
                 if sample is None:
                     continue
@@ -272,7 +343,7 @@ class DatasetGenerator:
         out = []
         for i in range(num_samples):
             text = (texts[i % len(texts)] if texts
-                    else sample_text(self.rng, min_words, max_words))
+                    else self._sample_line(min_words, max_words))
             img = self.generate_one(text)
             if img is not None:
                 out.append({"image": img, "text": text})
@@ -292,30 +363,8 @@ class MultilingualDatasetGenerator(DatasetGenerator):
         if khmer_ratio > 0 and not self.fonts.khmer_fonts:
             print("⚠ No Khmer-capable fonts found; generating English only.")
 
-    _KHMER_CONS = [chr(c) for c in range(0x1780, 0x17A3)]
-    _KHMER_VOWELS = [chr(c) for c in range(0x17B6, 0x17C6)]
-
-    def _sample_khmer(self) -> str:
-        words = []
-        for _ in range(self.rng.randint(1, 6)):
-            n = self.rng.randint(2, 7)
-            chars = []
-            for _ in range(n):
-                chars.append(self.rng.choice(self._KHMER_CONS))
-                if self.rng.random() < 0.5:
-                    chars.append(self.rng.choice(self._KHMER_VOWELS))
-            words.append("".join(chars))
-        return " ".join(words)
-
-    def generate_samples(self, num_samples: int, texts=None,
-                         min_words: int = 1, max_words: int = 14):
-        out = []
-        for _ in range(num_samples):
-            if self.rng.random() < self.khmer_ratio:
-                text = self._sample_khmer()
-            else:
-                text = sample_text(self.rng, min_words, max_words)
-            img = self.generate_one(text)
-            if img is not None:
-                out.append({"image": img, "text": text})
-        return out
+    def _sample_line(self, min_words: int = 1, max_words: int = 8) -> str:
+        if self.rng.random() < self.khmer_ratio:
+            return sample_khmer_text(self.rng, min_words,
+                                     max(2, max_words // 2))
+        return sample_text(self.rng, min_words, max_words)

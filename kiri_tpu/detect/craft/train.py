@@ -30,6 +30,7 @@ class CRAFTTrainConfig:
     grad_clip: float = 5.0
     image_size: int = 640
     seed: int = 42
+    khmer_ratio: float = 0.3   # fraction of Khmer lines in synthetic docs
     out_dir: str = "checkpoints_craft"
     log_every: int = 50
     pool_size: int = 256
@@ -66,7 +67,8 @@ def train_craft(tc: CRAFTTrainConfig, verbose: bool = True,
                 variables: Optional[Dict] = None) -> Dict:
     from . import save_craft_checkpoint
 
-    gen = DocumentGenerator(tc.image_size, tc.image_size, seed=tc.seed)
+    gen = DocumentGenerator(tc.image_size, tc.image_size, seed=tc.seed,
+                            khmer_ratio=tc.khmer_ratio)
     if variables is None:
         variables = init_craft_net(jax.random.PRNGKey(tc.seed))
     if verbose:

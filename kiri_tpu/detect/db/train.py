@@ -42,6 +42,7 @@ class DBTrainConfig:
     beta: float = 10.0       # threshold L1 weight
     neg_ratio: float = 3.0   # OHEM negative:positive
     seed: int = 42
+    khmer_ratio: float = 0.3   # fraction of Khmer lines in synthetic docs
     out_dir: str = "checkpoints_db"
     log_every: int = 50
     n_devices: Optional[int] = None
@@ -127,7 +128,8 @@ def train_db(tc: DBTrainConfig, verbose: bool = True,
     """Train the DB net on synthetic documents; returns final variables."""
     from . import save_db_checkpoint
 
-    gen = DocumentGenerator(tc.image_size, tc.image_size, seed=tc.seed)
+    gen = DocumentGenerator(tc.image_size, tc.image_size, seed=tc.seed,
+                            khmer_ratio=tc.khmer_ratio)
     if variables is None:
         variables = init_db_net(jax.random.PRNGKey(tc.seed))
     if verbose:

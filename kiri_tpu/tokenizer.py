@@ -17,8 +17,9 @@ helpers used by the batched TPU pipeline.
 from __future__ import annotations
 
 import json
+import string
 from pathlib import Path
-from typing import Dict, List, Sequence, Union
+from typing import Dict, Iterable, List, Sequence, Union
 
 import numpy as np
 
@@ -171,3 +172,32 @@ def build_vocab_from_texts(texts, out_path: Union[str, Path], unk_token: str = "
         vocab[ch] = i
     Path(out_path).write_text(json.dumps(vocab, ensure_ascii=False, indent=0))
     return str(out_path)
+
+
+def full_charset(include_khmer: bool = True) -> str:
+    """The complete target character set: every printable ASCII char plus
+    the assigned Khmer block (consonants, vowels, signs, digits, lunar
+    dates), minus the two invisible inherent-vowel marks (U+17B4/U+17B5).
+
+    Building vocabs from this union instead of observed training text only
+    prevents silent unknown-char drops (round 1's observed-only vocab was
+    missing G K M N P R V X Z because the text sampler never produced them).
+    """
+    chars = string.digits + string.ascii_letters + string.punctuation + " "
+    if include_khmer:
+        khmer = [chr(c) for c in range(0x1780, 0x17DE)
+                 if c not in (0x17B4, 0x17B5)]
+        khmer += [chr(c) for c in range(0x17E0, 0x17EA)]  # Khmer digits
+        khmer += [chr(c) for c in range(0x17F0, 0x17FA)]  # lunar-date digits
+        chars += "".join(khmer)
+    return chars
+
+
+def build_full_vocab(out_path: Union[str, Path], include_khmer: bool = True,
+                     extra_texts: Iterable[str] = (),
+                     unk_token: str = "<unk>") -> str:
+    """Write a vocab covering the full target charset, unioned with any
+    characters observed in `extra_texts` (dataset-specific symbols)."""
+    texts = [full_charset(include_khmer)]
+    texts.extend(extra_texts)
+    return build_vocab_from_texts(texts, out_path, unk_token)

@@ -1,8 +1,9 @@
 """Train the flagship recognizer on synthetic text lines -> models/model.safetensors.
 
 Produces the checkpoint that bench.py and the benchmark harness use for
-CER-at-throughput measurements. English-only when no Khmer-capable fonts
-exist on the host (the generator degrades gracefully; see data/synth.py).
+CER-at-throughput measurements. Bilingual: Khmer lines render through real
+Khmer TTFs when present, else the deterministic procedural glyph pool
+(data/pseudofont.py), so the Khmer paths are always exercised.
 
 Usage: python scripts/train_recognizer.py [--samples 20000] [--epochs 12]
 """
@@ -31,7 +32,7 @@ def main() -> None:
 
     from kiri_tpu.config import CFG
     from kiri_tpu.data.synth import MultilingualDatasetGenerator, sample_text
-    from kiri_tpu.tokenizer import CharTokenizer, build_vocab_from_texts
+    from kiri_tpu.tokenizer import CharTokenizer, build_full_vocab
     from kiri_tpu.train.trainer import TrainConfig, train_loop
 
     cfg = CFG(IMG_W=args.img_w, ENC_DIM=args.enc_dim)
@@ -49,8 +50,12 @@ def main() -> None:
     train = samples[n_val:]
     print(f"  {len(train)} train / {len(val)} val in {time.time() - t0:.0f}s")
 
+    # Full-charset vocab (printable ASCII + Khmer block) unioned with any
+    # observed characters — never observed-text-only (round 1's vocab was
+    # missing 9 uppercase letters the sampler happened not to produce).
     vocab_path = str(out / "vocab.json")
-    build_vocab_from_texts((s["text"] for s in samples), vocab_path)
+    build_full_vocab(vocab_path, include_khmer=True,
+                     extra_texts=(s["text"] for s in samples))
     tok = CharTokenizer(vocab_path, cfg)
     print(f"  vocab: {tok.vocab_size} chars")
 

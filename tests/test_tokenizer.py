@@ -107,3 +107,43 @@ def test_khmer_codepoints(tmp_path):
     assert tok.decode_dec(tok.encode_dec(text)) == text
     ids = np.array([tok.encode_ctc(text) + [0]])
     assert tok.decode_ctc_batch(ids)[0] == text
+
+
+def test_full_charset_covers_printable_ascii(tmp_path):
+    """Round 1's observed-text vocab was missing G K M N P R V X Z; the full
+    charset builder must cover every printable ASCII char and round-trip it."""
+    import string
+
+    from kiri_tpu.tokenizer import build_full_vocab, full_charset
+
+    charset = full_charset(include_khmer=False)
+    for ch in string.digits + string.ascii_letters + string.punctuation + " ":
+        assert ch in charset
+
+    p = tmp_path / "vocab_full.json"
+    build_full_vocab(p, include_khmer=False)
+    tok = CharTokenizer(str(p))
+    for ch in charset:
+        ids = tok.encode_ctc(ch + ch)
+        assert tok.unk_id + tok.ctc_offset not in ids, f"unk for {ch!r}"
+        # Interleave blank so CTC collapse keeps the doubled char.
+        assert tok.decode_ctc([ids[0], 0, ids[1]]) == ch + ch
+        assert tok.decode_dec(tok.encode_dec(ch)) == ch
+
+
+def test_full_charset_khmer_roundtrip(tmp_path):
+    from kiri_tpu.tokenizer import build_full_vocab, full_charset
+
+    charset = full_charset(include_khmer=True)
+    # Representative Khmer: consonants, dependent vowels, signs, digits.
+    for cp in (0x1780, 0x17A2, 0x17B6, 0x17C5, 0x17D2, 0x17DB, 0x17E0, 0x17E9):
+        assert chr(cp) in charset
+    # The invisible inherent-vowel marks are deliberately excluded.
+    assert chr(0x17B4) not in charset and chr(0x17B5) not in charset
+
+    p = tmp_path / "vocab_full.json"
+    build_full_vocab(p, include_khmer=True, extra_texts=["€"])
+    tok = CharTokenizer(str(p))
+    text = "កា្រ ១២៣ superb"
+    assert tok.decode_dec(tok.encode_dec(text)) == text
+    assert "€" in tok.token_to_id
