@@ -41,6 +41,12 @@ class TextDetector:
 
         if model_path is None and self.method in ("db", "craft"):
             model_path = self._find_default_model()
+        elif (model_path and "/" in model_path
+              and not os.path.exists(model_path)
+              and not model_path.startswith((".", "/"))):
+            # Repo-id form, e.g. "org/name": fetch from the HF hub
+            # (reference: kiri_ocr/detector/__init__.py:82-107).
+            model_path = self._download_from_hub(model_path) or model_path
         self.model_path = model_path
 
         if self.method == "craft":
@@ -77,6 +83,10 @@ class TextDetector:
 
         self.legacy_detector = ImageProcessingTextDetector(**kwargs)
 
+    #: Official model repo tried when no local checkpoint exists
+    #: (reference: kiri_ocr/detector/__init__.py:77-79).
+    DEFAULT_HUB_REPO = "mrrtmob/kiri-ocr"
+
     def _find_default_model(self) -> Optional[str]:
         fname = {"db": "detector.safetensors",
                  "craft": "craft.safetensors"}[self.method]
@@ -91,6 +101,36 @@ class TextDetector:
         for p in candidates:
             if p.exists():
                 return str(p)
+        # No local checkpoint: try the official hub repo before giving up
+        # (reference: kiri_ocr/detector/__init__.py:82-107; legacy fallback
+        # still applies when offline or the file is absent).
+        return self._download_from_hub(self.DEFAULT_HUB_REPO)
+
+    def _download_from_hub(self, repo_id: str) -> Optional[str]:
+        """Fetch a detector checkpoint from the HF hub; None when offline.
+
+        Tries the TPU-format safetensors layouts. The reference's ONNX
+        artifact (detector/DB/detector.onnx) is deliberately not fetched:
+        this framework's DB net is a first-party trainable JAX model with
+        its own checkpoint format, not an ONNX runtime wrapper.
+        """
+        fname = {"db": "detector.safetensors",
+                 "craft": "craft.safetensors"}.get(self.method)
+        if fname is None:
+            return None
+        try:
+            from huggingface_hub import hf_hub_download
+        except Exception:
+            return None
+        for remote in (f"detector/{fname}", fname, f"models/{fname}"):
+            try:
+                local = hf_hub_download(repo_id=repo_id, filename=remote)
+                if local and os.path.exists(local):
+                    return local
+            except Exception:
+                continue
+        print(f"Warning: could not find a {self.method} detector model in "
+              f"HuggingFace repo: {repo_id}")
         return None
 
     # --------------------------------------------------------------- lines

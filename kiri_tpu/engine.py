@@ -193,12 +193,6 @@ class RecognizerEngine:
             dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
         return [list(self._stream_beam(out, i)) for i in range(n)]
 
-    def _stream_ctc(self, best_ids: np.ndarray, ctc_logits,
-                    row: int = 0) -> Generator[Dict, None, None]:
-        """CTC frame streaming (reference: model.py:689-775)."""
-        probs = np.asarray(jax.nn.softmax(ctc_logits[row], axis=-1))
-        yield from self._stream_ctc_row(best_ids, probs.max(axis=-1))
-
     def _stream_ctc_row(self, best_ids: np.ndarray, max_probs: np.ndarray
                         ) -> Generator[Dict, None, None]:
         decoded = ""

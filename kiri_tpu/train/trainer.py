@@ -152,6 +152,18 @@ def make_train_step(cfg: CFG, tok: CharTokenizer, optimizer,
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def ar_divergence_warning(ctc_acc: float, ar_acc: float,
+                          threshold: float = 0.15) -> Optional[str]:
+    """Reference semantics (kiri_ocr/training.py:~934): warn when the
+    sampled AR-decoder accuracy lags CTC exact-match by >15 points."""
+    if ctc_acc - ar_acc > threshold:
+        return (f"⚠ AR decoder accuracy ({ar_acc * 100:.1f}%) lags CTC "
+                f"({ctc_acc * 100:.1f}%) by more than "
+                f"{threshold * 100:.0f} points — decoder head may be "
+                f"undertrained or diverging.")
+    return None
+
+
 def make_eval_step(cfg: CFG):
     """Jitted CTC greedy ids for validation exact-match."""
 
@@ -258,8 +270,10 @@ class Trainer:
         self.step = 0
         self.epoch = 0
         self.best_val_acc = 0.0
+        self.last_ar_acc: Optional[float] = None
         self.history: List[Dict[str, float]] = []
         self._rng = jax.random.PRNGKey(tc.seed)
+        self._engine = None  # lazy RecognizerEngine for AR validation
 
     # -------------------------------------------------------------- stepping
     def run_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
@@ -273,10 +287,20 @@ class Trainer:
         return {k: float(v) for k, v in metrics.items()}
 
     # ------------------------------------------------------------ validation
-    def validate(self, val_batches: Iterable[Dict[str, Any]]) -> float:
-        """Batched CTC exact-match accuracy (reference: training.py:865-949)."""
+    def validate(self, val_batches: Iterable[Dict[str, Any]],
+                 ar_sample_every: int = 10, verbose: bool = True) -> float:
+        """Batched CTC exact-match accuracy plus sampled AR-decode accuracy
+        with a CTC/decoder divergence warning (reference: training.py:865-949,
+        warning at ~:934 when the AR head lags CTC by >15 points).
+
+        AR decode runs on the first sample of every `ar_sample_every`-th
+        batch (0 disables). Returns the CTC accuracy; the sampled AR
+        accuracy lands in ``self.last_ar_acc``.
+        """
         correct = total = 0
-        for batch in val_batches:
+        ar_imgs: List[np.ndarray] = []
+        ar_texts: List[str] = []
+        for bi, batch in enumerate(val_batches):
             imgs = batch["image"]
             texts = batch["text"]
             ids = np.asarray(self.eval_step(self.variables, jnp.asarray(imgs)))
@@ -284,7 +308,28 @@ class Trainer:
             for p, t in zip(preds, texts):
                 correct += int(p == t)
                 total += 1
-        return correct / max(1, total)
+            if ar_sample_every and bi % ar_sample_every == 0 and len(texts):
+                ar_imgs.append(np.asarray(imgs[:1]))
+                ar_texts.append(texts[0])
+        acc = correct / max(1, total)
+
+        self.last_ar_acc = None
+        if ar_imgs:
+            from ..engine import RecognizerEngine
+
+            if self._engine is None:
+                self._engine = RecognizerEngine(self.variables, self.cfg,
+                                                self.tok)
+            self._engine.variables = self.variables
+            results = self._engine.recognize_batch(
+                np.concatenate(ar_imgs, axis=0), "decoder")
+            ar_correct = sum(int(hyp == ref) for (hyp, _), ref
+                             in zip(results, ar_texts))
+            self.last_ar_acc = ar_correct / len(ar_texts)
+            warning = ar_divergence_warning(acc, self.last_ar_acc)
+            if warning and verbose:
+                print(warning)
+        return acc
 
     # ----------------------------------------------------------- checkpoints
     def save(self, path, vocab_path: str = "") -> None:
@@ -375,8 +420,10 @@ def train_loop(cfg: CFG, tok: CharTokenizer, tc: TrainConfig,
         avg = {k: v / max(1, n_steps) for k, v in epoch_metrics.items()}
         row = {"epoch": epoch, **avg, "time_s": time.time() - t0}
         if val_batches and (epoch + 1) % tc.val_every == 0:
-            acc = trainer.validate(val_batches)
+            acc = trainer.validate(val_batches, verbose=verbose)
             row["val_ctc_acc"] = acc
+            if trainer.last_ar_acc is not None:
+                row["val_ar_acc"] = trainer.last_ar_acc
             if acc > trainer.best_val_acc:
                 trainer.best_val_acc = acc
                 trainer.save(out / "model.safetensors", vocab_path)
@@ -385,6 +432,8 @@ def train_loop(cfg: CFG, tok: CharTokenizer, tc: TrainConfig,
             msg = f"Epoch {epoch}: loss={avg.get('loss', 0):.4f}"
             if "val_ctc_acc" in row:
                 msg += f" val_acc={row['val_ctc_acc'] * 100:.2f}%"
+            if "val_ar_acc" in row:
+                msg += f" ar_acc={row['val_ar_acc'] * 100:.2f}%"
             print(msg + f" ({row['time_s']:.1f}s)")
 
         trainer.epoch = epoch + 1

@@ -217,3 +217,44 @@ def test_trained_db_detector_e2e():
     assert hit >= 0.9 * len(doc["lines"]), (hit, len(doc["lines"]))
     # Confidences are meaningful probabilities.
     assert all(0.3 <= c <= 1.0 for _, c in results)
+
+
+def test_hub_fallback_repo_id(tmp_path, monkeypatch):
+    """Repo-id model paths route through the hub download (reference:
+    kiri_ocr/detector/__init__.py:82-107), falling back to legacy offline."""
+    from kiri_tpu.detect import TextDetector
+
+    calls = []
+
+    def fake_download(self, repo_id):
+        calls.append(repo_id)
+        return None  # offline
+
+    monkeypatch.setattr(TextDetector, "_download_from_hub", fake_download)
+    det = TextDetector(method="db", model_path="someorg/somerepo")
+    assert calls == ["someorg/somerepo"]
+    assert det.method == "legacy"  # graceful fallback, no crash
+
+
+def test_find_default_model_tries_hub_when_no_local(monkeypatch, tmp_path):
+    from kiri_tpu.detect import TextDetector
+
+    calls = []
+    monkeypatch.setattr(
+        TextDetector, "_download_from_hub",
+        lambda self, repo: calls.append(repo) or None)
+    # Point the local search away from the repo's models/ dir.
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        TextDetector, "_find_default_model",
+        TextDetector._find_default_model)  # keep real impl
+
+    det = TextDetector.__new__(TextDetector)
+    det.method = "db"
+    found = TextDetector._find_default_model(det)
+    # Local repo checkpoint exists via absolute repo-root candidate, so the
+    # hub is NOT consulted when a local model is found.
+    if found is None:
+        assert calls == [TextDetector.DEFAULT_HUB_REPO]
+    else:
+        assert calls == []

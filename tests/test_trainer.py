@@ -94,3 +94,29 @@ def test_validate_exact_match(tok):
     batch["text"] = ["ab cde"] * 4
     acc = trainer.validate([batch])
     assert 0.0 <= acc <= 1.0
+
+
+def test_ar_divergence_warning():
+    from kiri_tpu.train.trainer import ar_divergence_warning
+
+    assert ar_divergence_warning(0.90, 0.90) is None
+    assert ar_divergence_warning(0.90, 0.80) is None   # 10 pts: within band
+    msg = ar_divergence_warning(0.90, 0.70)            # 20 pts: warn
+    assert msg is not None and "lags CTC" in msg
+    assert ar_divergence_warning(0.10, 0.50) is None   # AR ahead: fine
+
+
+def test_validate_samples_ar_decode(tok, capsys):
+    """validate() runs sampled AR decode and records last_ar_acc
+    (reference: kiri_ocr/training.py:865-949)."""
+    tc = TrainConfig(epochs=1, batch_size=4, log_every=0)
+    trainer = Trainer(CFG_TINY, tok, tc, total_steps=5, use_mesh=False)
+    batch = collate(_samples(4), tok)
+    batch["text"] = ["ab cde"] * 4
+    acc = trainer.validate([batch], ar_sample_every=1)
+    assert trainer.last_ar_acc is not None
+    assert 0.0 <= trainer.last_ar_acc <= 1.0
+    # With ar sampling disabled, last_ar_acc resets to None.
+    trainer.validate([batch], ar_sample_every=0)
+    assert trainer.last_ar_acc is None
+    assert 0.0 <= acc <= 1.0
