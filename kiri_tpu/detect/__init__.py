@@ -168,7 +168,9 @@ class TextDetector:
                 box, confidence = item
             else:
                 box, confidence = item, 1.0
-            if hasattr(box, "shape") and getattr(box, "shape", None) == (4, 2):
+            shape = getattr(box, "shape", None)
+            if shape is not None and len(shape) == 2 and shape[1] == 2:
+                # Quad or polygon outline ([N,2] points).
                 x1, y1 = box[:, 0].min(), box[:, 1].min()
                 x2, y2 = box[:, 0].max(), box[:, 1].max()
             else:

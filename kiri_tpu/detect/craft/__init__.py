@@ -51,14 +51,33 @@ def resize_aspect_ratio(img: np.ndarray, square_size: int, mag_ratio: float
 
 def get_det_boxes(textmap: np.ndarray, linkmap: np.ndarray,
                   text_threshold: float, link_threshold: float,
-                  low_text: float) -> List[np.ndarray]:
-    """Score maps -> min-area quads (reference craft/utils.py:16-99)."""
+                  low_text: float, poly: bool = False):
+    """Score maps -> min-area quads (reference craft/utils.py:16-99).
+
+    With ``poly=True`` also returns per-box polygon outlines (None where
+    the quad is the better description), mirroring the reference dispatch
+    (craft/utils.py:271-281).
+    """
+    boxes, labels, mapper = _det_boxes_core(textmap, linkmap, text_threshold,
+                                            link_threshold, low_text)
+    if not poly:
+        return boxes
+    from .poly import get_poly_core
+
+    return boxes, get_poly_core(boxes, labels, mapper)
+
+
+def _det_boxes_core(textmap: np.ndarray, linkmap: np.ndarray,
+                    text_threshold: float, link_threshold: float,
+                    low_text: float):
+    """Returns (quads, label_map, mapper: component id per quad)."""
     text_score = (textmap >= low_text).astype(np.uint8)
     link_score = (linkmap >= link_threshold).astype(np.uint8)
     combined = np.clip(text_score + link_score, 0, 1).astype(np.uint8)
 
     n, labels, stats = native.connected_components(combined)
     boxes = []
+    mapper = []
     for comp in range(1, n + 1):
         x, y, w, h, size = stats[comp - 1]
         if size < 10:
@@ -96,7 +115,8 @@ def get_det_boxes(textmap: np.ndarray, linkmap: np.ndarray,
         startidx = box.sum(axis=1).argmin()
         box = np.roll(box, 4 - startidx, 0)
         boxes.append(box)
-    return boxes
+        mapper.append(comp)
+    return boxes, labels, mapper
 
 
 class CRAFTDetector:
@@ -157,20 +177,35 @@ class CRAFTDetector:
         affinity = np.asarray(jax.nn.sigmoid(affinity[0]))
         return region, affinity, ratio
 
-    def detect_text(self, image) -> List[Tuple[np.ndarray, float]]:
-        """(quad, confidence) list; coordinates in original image space."""
+    def detect_text(self, image, poly: bool = False
+                    ) -> List[Tuple[np.ndarray, float]]:
+        """(points, confidence) list; coordinates in original image space.
+
+        points is a [4,2] quad, or with ``poly=True`` a polygon outline
+        where one was found (quad otherwise) — reference wrapper flag
+        semantics (craft/model.py:223-291: polys[k] falls back to boxes[k]).
+        """
         gray = self._load_gray(image)
         region, affinity, ratio = self.predict_maps(gray)
-        boxes = get_det_boxes(region, affinity, self.text_threshold,
-                              self.link_threshold, self.low_text)
+        if poly:
+            boxes, polys = get_det_boxes(region, affinity,
+                                         self.text_threshold,
+                                         self.link_threshold, self.low_text,
+                                         poly=True)
+            shapes = [p if p is not None else b
+                      for b, p in zip(boxes, polys)]
+        else:
+            shapes = get_det_boxes(region, affinity, self.text_threshold,
+                                   self.link_threshold, self.low_text)
+            boxes = shapes
         # Net output is half-res; adjust by 2/ratio (craft/utils.py:297-315).
         results = []
-        for box in boxes:
-            scaled = box * (2.0 / ratio)
+        for quad, pts in zip(boxes, shapes):
+            scaled = pts * (2.0 / ratio)
             xs = np.clip(scaled[:, 0], 0, gray.shape[1])
             ys = np.clip(scaled[:, 1], 0, gray.shape[0])
-            ix0, iy0 = int(box[:, 0].min()), int(box[:, 1].min())
-            ix1, iy1 = int(box[:, 0].max()) + 1, int(box[:, 1].max()) + 1
+            ix0, iy0 = int(quad[:, 0].min()), int(quad[:, 1].min())
+            ix1, iy1 = int(quad[:, 0].max()) + 1, int(quad[:, 1].max()) + 1
             conf = float(region[iy0:iy1, ix0:ix1].max()) if ix1 > ix0 else 1.0
             results.append((np.stack([xs, ys], axis=1).astype(np.float32),
                             conf))
