@@ -1,14 +1,22 @@
 """Classic computer-vision text detector (no learned model).
 
 Capability-parity rebuild of the reference's dependency-light fallback
-detector (reference: kiri_ocr/detector/legacy/detector.py:17-1098): multiple
-binarization candidates scored by text-likeness, connected-component
-extraction, dedup, and a line / word / block / character hierarchy.
+detector (reference: kiri_ocr/detector/legacy/detector.py:17-1098):
 
-The design here is deliberately simpler than the reference's ~25-binarization
-sweep: a small candidate set (Otsu both polarities + adaptive) scored by
-component statistics covers the same document classes at a fraction of the
-host cost, and all heavy ops are single cv2/numpy calls.
+* a wide binarization candidate sweep — CLAHE-enhanced grayscale families
+  (Otsu, adaptive Gaussian/mean, Sauvola-/Niblack-like, both polarities,
+  morphological gradient) plus per-RGB-channel / HSV / LAB binarizations on
+  color inputs (reference :391-494) — scored by text-likeness and reduced
+  to the best mask;
+* MSER components with solidity filtering (reference :283-332) and
+  gradient/Canny stroke components (reference :334-387) as additional
+  candidate sources, gated by ``use_mser`` / ``use_gradient``;
+* IoU NMS dedup across sources (reference :679-729), then the
+  line / word / block / character hierarchy.
+
+The scored-selection design (pick one best mask, then union the auxiliary
+sources) keeps the host cost bounded while covering the reference's
+failure modes: low-contrast, inverted, colored and textured documents.
 """
 from __future__ import annotations
 
@@ -27,7 +35,12 @@ class ImageProcessingTextDetector:
                  line_overlap_ratio: float = 0.5,
                  word_gap_ratio: float = 0.7,
                  block_gap_ratio: float = 1.8,
-                 max_side: int = 1600, **_ignored):
+                 max_side: int = 1600,
+                 use_mser: bool = True,
+                 use_gradient: bool = True,
+                 use_color_channels: bool = True,
+                 min_text_width: int = 2,
+                 min_text_height: int = 6, **_ignored):
         self.min_area = min_area
         self.max_area_ratio = max_area_ratio
         self.min_aspect = min_aspect
@@ -36,6 +49,11 @@ class ImageProcessingTextDetector:
         self.word_gap_ratio = word_gap_ratio
         self.block_gap_ratio = block_gap_ratio
         self.max_side = max_side
+        self.use_mser = use_mser
+        self.use_gradient = use_gradient
+        self.use_color_channels = use_color_channels
+        self.min_text_width = min_text_width
+        self.min_text_height = min_text_height
         self._debug: Dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------ public API
@@ -44,10 +62,10 @@ class ImageProcessingTextDetector:
         return [b.bbox for b in lines]
 
     def detect_words(self, image) -> List[Tuple[int, int, int, int]]:
-        img = self._load_image(image)
+        img, color = self._load_images(image)
         if img is None:
             return []
-        comps = self._components(img)
+        comps = self._components(img, color)
         lines = self._group_into_lines(comps)
         words = []
         for line in lines:
@@ -55,26 +73,26 @@ class ImageProcessingTextDetector:
         return [w.bbox for w in words]
 
     def detect_characters(self, image) -> List[Tuple[int, int, int, int]]:
-        img = self._load_image(image)
+        img, color = self._load_images(image)
         if img is None:
             return []
-        return [tuple(c) for c in self._components(img)]
+        return [tuple(c) for c in self._components(img, color)]
 
     def detect_blocks(self, image) -> List[Tuple[int, int, int, int]]:
-        img = self._load_image(image)
+        img, color = self._load_images(image)
         if img is None:
             return []
-        lines = self._lines_from_components(self._components(img))
+        lines = self._lines_from_components(self._components(img, color))
         h, w = img.shape[:2]
         return [b.bbox for b in self._group_lines_into_blocks(lines, w, h)]
 
     def detect_all(self, image) -> List[TextBox]:
         """Full hierarchy: blocks containing lines containing words/chars."""
-        img = self._load_image(image)
+        img, color = self._load_images(image)
         if img is None:
             return []
         h, w = img.shape[:2]
-        comps = self._components(img)
+        comps = self._components(img, color)
         comp_lines = self._group_into_lines(comps)
         line_boxes = self._lines_from_components(comps)
         for lb, lc in zip(line_boxes, comp_lines):
@@ -97,32 +115,93 @@ class ImageProcessingTextDetector:
 
     # ----------------------------------------------------------- core stages
     def _load_image(self, image) -> Optional[np.ndarray]:
+        gray, _ = self._load_images(image)
+        return gray
+
+    def _load_images(self, image) -> Tuple[Optional[np.ndarray],
+                                           Optional[np.ndarray]]:
+        """Returns (gray, color-or-None); color kept for channel candidates."""
         if isinstance(image, (str, Path)):
             img = cv2.imread(str(image))
             if img is None:
-                return None
+                return None, None
         else:
             img = np.asarray(image)
         if img.ndim == 3:
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
-        return img
+            return cv2.cvtColor(img, cv2.COLOR_BGR2GRAY), img
+        return img, None
 
-    def _binarize(self, gray: np.ndarray) -> np.ndarray:
-        """Pick the best text-mask among a small candidate set.
+    def _binary_candidates(self, gray: np.ndarray,
+                           color: Optional[np.ndarray] = None
+                           ) -> List[Tuple[str, np.ndarray]]:
+        """The reference's multi-space binarization sweep
+        (legacy/detector.py:391-494): CLAHE-enhanced grayscale families in
+        both polarities, per-channel RGB/HSV/LAB masks on color input, and
+        a morphological-gradient edge mask."""
+        cands: List[Tuple[str, np.ndarray]] = []
+        clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+        enhanced = clahe.apply(gray)
 
-        Candidates are scored by component statistics (count, size spread,
-        fill ratio) — the same idea as the reference's text-likeness scoring
-        (legacy/detector.py:496-569) over a reduced, cheap candidate set.
-        """
-        cands = []
-        _, otsu = cv2.threshold(gray, 0, 255, cv2.THRESH_BINARY_INV + cv2.THRESH_OTSU)
-        cands.append(("otsu_inv", otsu))
-        _, otsu2 = cv2.threshold(gray, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
-        cands.append(("otsu", otsu2))
-        ad = cv2.adaptiveThreshold(gray, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
-                                   cv2.THRESH_BINARY_INV, 31, 15)
-        cands.append(("adaptive_inv", ad))
+        _, otsu = cv2.threshold(enhanced, 0, 255,
+                                cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        cands += [("otsu", otsu), ("otsu_inv", 255 - otsu)]
+        adapt_gauss = cv2.adaptiveThreshold(
+            enhanced, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
+            cv2.THRESH_BINARY, 21, 10)
+        cands += [("adaptive_gauss", adapt_gauss),
+                  ("adaptive_gauss_inv", 255 - adapt_gauss)]
+        adapt_mean = cv2.adaptiveThreshold(
+            enhanced, 255, cv2.ADAPTIVE_THRESH_MEAN_C,
+            cv2.THRESH_BINARY, 15, 8)
+        cands += [("adaptive_mean", adapt_mean),
+                  ("adaptive_mean_inv", 255 - adapt_mean)]
+        sauvola = cv2.adaptiveThreshold(
+            enhanced, 255, cv2.ADAPTIVE_THRESH_GAUSSIAN_C,
+            cv2.THRESH_BINARY, 51, 20)
+        cands += [("sauvola", sauvola), ("sauvola_inv", 255 - sauvola)]
+        niblack = cv2.adaptiveThreshold(
+            enhanced, 255, cv2.ADAPTIVE_THRESH_MEAN_C,
+            cv2.THRESH_BINARY, 11, 5)
+        cands += [("niblack", niblack), ("niblack_inv", 255 - niblack)]
 
+        if self.use_color_channels and color is not None:
+            for i, ch_name in enumerate(("blue", "green", "red")):
+                ch = clahe.apply(color[:, :, i])
+                _, m = cv2.threshold(ch, 0, 255,
+                                     cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+                cands += [(f"{ch_name}_otsu", m),
+                          (f"{ch_name}_otsu_inv", 255 - m)]
+            hsv = cv2.cvtColor(color, cv2.COLOR_BGR2HSV)
+            v = clahe.apply(hsv[:, :, 2])
+            _, m = cv2.threshold(v, 0, 255,
+                                 cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+            cands += [("hsv_v_otsu", m), ("hsv_v_otsu_inv", 255 - m)]
+            _, s_m = cv2.threshold(hsv[:, :, 1], 50, 255, cv2.THRESH_BINARY)
+            cands.append(("hsv_s", s_m))
+            lab = cv2.cvtColor(color, cv2.COLOR_BGR2LAB)
+            l_ch = clahe.apply(lab[:, :, 0])
+            _, m = cv2.threshold(l_ch, 0, 255,
+                                 cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+            cands += [("lab_l_otsu", m), ("lab_l_otsu_inv", 255 - m)]
+            for i, ch_name in enumerate(("a", "b")):
+                ch = lab[:, :, i + 1]
+                _, hi = cv2.threshold(ch, 160, 255, cv2.THRESH_BINARY)
+                _, lo = cv2.threshold(ch, 96, 255, cv2.THRESH_BINARY_INV)
+                cands += [(f"lab_{ch_name}_high", hi),
+                          (f"lab_{ch_name}_low", lo)]
+
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+        morph_grad = cv2.morphologyEx(enhanced, cv2.MORPH_GRADIENT, kernel)
+        _, morph_bin = cv2.threshold(morph_grad, 0, 255,
+                                     cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        cands.append(("morph_gradient", morph_bin))
+        return cands
+
+    def _binarize(self, gray: np.ndarray,
+                  color: Optional[np.ndarray] = None) -> np.ndarray:
+        """Pick the best text-mask among the candidate sweep by text-likeness
+        scoring (reference legacy/detector.py:496-569)."""
+        cands = self._binary_candidates(gray, color)
         best, best_score = cands[0][1], -1.0
         img_area = gray.shape[0] * gray.shape[1]
         for name, b in cands:
@@ -144,31 +223,150 @@ class ImageProcessingTextDetector:
                 best, best_score = b, score
         return best
 
-    def _components(self, gray: np.ndarray) -> np.ndarray:
-        """[K, 4] (x, y, w, h) candidate character components."""
+    def _mser_components(self, gray: np.ndarray) -> np.ndarray:
+        """MSER candidate boxes with solidity filtering, both polarities
+        (reference legacy/detector.py:283-332)."""
+        try:
+            mser = cv2.MSER_create(
+                delta=5, min_area=30, max_area=14400, max_variation=0.25,
+                min_diversity=0.2, max_evolution=200, area_threshold=1.01,
+                min_margin=0.003, edge_blur_size=5)
+        except Exception:
+            return np.zeros((0, 4), np.int32)
+        out = []
+        for src in (gray, 255 - gray):
+            try:
+                regions, _ = mser.detectRegions(src)
+            except cv2.error:
+                continue
+            for region in regions:
+                x, y, w, h = cv2.boundingRect(region)
+                if w < self.min_text_width or h < self.min_text_height:
+                    continue
+                pts = region.reshape(-1, 1, 2)
+                area = cv2.contourArea(pts)
+                hull_area = cv2.contourArea(cv2.convexHull(pts))
+                solidity = area / hull_area if hull_area > 0 else 0.0
+                if 0.2 < solidity < 0.95:
+                    out.append((x, y, w, h))
+        return np.asarray(out, np.int32).reshape(-1, 4)
+
+    def _gradient_components(self, gray: np.ndarray) -> np.ndarray:
+        """Canny/Sobel stroke components (reference legacy/detector.py:334-387):
+        dilated edges -> contours, kept when stroke width is consistent."""
+        gx = cv2.Sobel(gray, cv2.CV_64F, 1, 0, ksize=3)
+        gy = cv2.Sobel(gray, cv2.CV_64F, 0, 1, ksize=3)
+        magnitude = np.sqrt(gx ** 2 + gy ** 2)
+        mmax = magnitude.max()
+        if mmax <= 0:
+            return np.zeros((0, 4), np.int32)
+        magnitude = (magnitude / mmax * 255).astype(np.uint8)
+        edges = cv2.Canny(gray, 50, 150)
+        kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (3, 1))
+        dilated = cv2.dilate(edges, kernel, iterations=2)
+        self._debug["gradient_edges"] = dilated
+        contours, _ = cv2.findContours(dilated, cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+        out = []
+        for contour in contours:
+            x, y, w, h = cv2.boundingRect(contour)
+            if w < self.min_text_width or h < self.min_text_height:
+                continue
+            roi = magnitude[y:y + h, x:x + w]
+            strong = roi[roi > 20]
+            if strong.size <= 10:
+                continue
+            consistency = 1.0 - float(np.std(strong)) / (float(np.mean(strong)) + 1e-6)
+            aspect = w / h
+            if consistency > 0 and 0.05 < aspect < 15:
+                out.append((x, y, w, h))
+        return np.asarray(out, np.int32).reshape(-1, 4)
+
+    @staticmethod
+    def _nms_boxes(boxes: np.ndarray, iou_thr: float = 0.5) -> np.ndarray:
+        """Greedy IoU dedup, larger boxes first (reference :679-729)."""
+        if len(boxes) <= 1:
+            return boxes
+        areas = boxes[:, 2].astype(np.float64) * boxes[:, 3]
+        order = np.argsort(-areas)
+        b = boxes[order].astype(np.float64)
+        a = areas[order]
+        x1, y1 = b[:, 0], b[:, 1]
+        x2, y2 = b[:, 0] + b[:, 2], b[:, 1] + b[:, 3]
+        keep = []
+        alive = np.ones(len(b), bool)
+        for i in range(len(b)):
+            if not alive[i]:
+                continue
+            keep.append(order[i])
+            xx1 = np.maximum(x1[i], x1[i + 1:])
+            yy1 = np.maximum(y1[i], y1[i + 1:])
+            xx2 = np.minimum(x2[i], x2[i + 1:])
+            yy2 = np.minimum(y2[i], y2[i + 1:])
+            inter = (np.maximum(0, xx2 - xx1) * np.maximum(0, yy2 - yy1))
+            iou = inter / np.maximum(1e-9, a[i] + a[i + 1:] - inter)
+            alive[i + 1:] &= iou <= iou_thr
+        return boxes[np.asarray(keep, np.int64)]
+
+    def _filter_boxes(self, boxes: np.ndarray, img_area: int,
+                      img_h: int) -> np.ndarray:
+        if len(boxes) == 0:
+            return boxes.reshape(0, 4)
+        w = boxes[:, 2].astype(np.float32)
+        h = boxes[:, 3].astype(np.float32)
+        areas = w * h
+        aspect = w / np.maximum(h, 1)
+        keep = ((areas > self.min_area)
+                & (areas < img_area * self.max_area_ratio)
+                & (aspect > self.min_aspect) & (aspect < self.max_aspect)
+                & (h < img_h * 0.95))
+        return boxes[keep]
+
+    def _components(self, gray: np.ndarray,
+                    color: Optional[np.ndarray] = None) -> np.ndarray:
+        """[K, 4] (x, y, w, h) candidate character components from the best
+        binarization plus the MSER and gradient sources, NMS-deduped."""
         h0, w0 = gray.shape[:2]
         scale = 1.0
         if max(h0, w0) > self.max_side:
             scale = self.max_side / max(h0, w0)
             gray = cv2.resize(gray, (int(w0 * scale), int(h0 * scale)))
-        binary = self._binarize(gray)
+            if color is not None:
+                color = cv2.resize(color, (gray.shape[1], gray.shape[0]))
+        binary = self._binarize(gray, color)
         self._debug["binary"] = binary
-        n, _, stats, _ = cv2.connectedComponentsWithStats(binary, connectivity=8)
-        if n <= 1:
-            return np.zeros((0, 4), np.int32)
         img_area = gray.shape[0] * gray.shape[1]
-        boxes = stats[1:, [cv2.CC_STAT_LEFT, cv2.CC_STAT_TOP,
-                           cv2.CC_STAT_WIDTH, cv2.CC_STAT_HEIGHT]]
-        areas = stats[1:, cv2.CC_STAT_AREA]
-        w = boxes[:, 2].astype(np.float32)
-        h = boxes[:, 3].astype(np.float32)
-        aspect = w / np.maximum(h, 1)
-        keep = ((areas > self.min_area)
-                & (areas < img_area * self.max_area_ratio)
-                & (aspect > self.min_aspect) & (aspect < self.max_aspect)
-                & (h < gray.shape[0] * 0.95))
-        boxes = boxes[keep]
-        if scale != 1.0:
+
+        n, _, stats, _ = cv2.connectedComponentsWithStats(binary, connectivity=8)
+        if n > 1:
+            cc_boxes = stats[1:, [cv2.CC_STAT_LEFT, cv2.CC_STAT_TOP,
+                                  cv2.CC_STAT_WIDTH, cv2.CC_STAT_HEIGHT]]
+            # The CC source filters on component pixel area (tighter than
+            # bbox area for sparse glyph strokes).
+            cc_areas = stats[1:, cv2.CC_STAT_AREA]
+            w = cc_boxes[:, 2].astype(np.float32)
+            h = cc_boxes[:, 3].astype(np.float32)
+            aspect = w / np.maximum(h, 1)
+            keep = ((cc_areas > self.min_area)
+                    & (cc_areas < img_area * self.max_area_ratio)
+                    & (aspect > self.min_aspect) & (aspect < self.max_aspect)
+                    & (h < gray.shape[0] * 0.95))
+            boxes = cc_boxes[keep]
+        else:
+            boxes = np.zeros((0, 4), np.int32)
+
+        extra = []
+        if self.use_mser:
+            extra.append(self._filter_boxes(self._mser_components(gray),
+                                            img_area, gray.shape[0]))
+        if self.use_gradient:
+            extra.append(self._filter_boxes(self._gradient_components(gray),
+                                            img_area, gray.shape[0]))
+        if extra:
+            boxes = np.concatenate([boxes.reshape(-1, 4)] +
+                                   [e.reshape(-1, 4) for e in extra], axis=0)
+        boxes = self._nms_boxes(boxes.astype(np.int32))
+        if scale != 1.0 and len(boxes):
             boxes = (boxes / scale).astype(np.int32)
         return boxes.astype(np.int32)
 
@@ -210,10 +408,10 @@ class ImageProcessingTextDetector:
         return boxes
 
     def _detect_lines_objects(self, image) -> List[TextBox]:
-        img = self._load_image(image)
+        img, color = self._load_images(image)
         if img is None:
             return []
-        return self._lines_from_components(self._components(img))
+        return self._lines_from_components(self._components(img, color))
 
     def _split_line_to_words(self, line_comps: np.ndarray) -> List[TextBox]:
         if len(line_comps) == 0:
