@@ -75,6 +75,13 @@ class CFG:
     # Decode-step buckets: AR decoding compiles one while_loop program per
     # step bucket instead of per data-dependent max_steps.
     STEP_BUCKETS: tuple = (32, 64, 128, 256, 512)
+    # Width buckets for line images: a line whose aspect-preserving resize is
+    # narrower than IMG_W runs through a program padded only to the next
+    # bucket, not the full IMG_W. Encoder FLOPs and decode memory length
+    # scale with width, so narrow lines (the common case in documents) cost
+    # a fraction of a full-width dispatch. Buckets wider than IMG_W are
+    # ignored; IMG_W itself is always a valid bucket.
+    WIDTH_BUCKETS: tuple = (160, 320, 480, 640)
 
     def replace(self, **kw) -> "CFG":
         return dataclasses.replace(self, **kw)
@@ -84,6 +91,7 @@ class CFG:
         d = dataclasses.asdict(self)
         d["BATCH_BUCKETS"] = list(self.BATCH_BUCKETS)
         d["STEP_BUCKETS"] = list(self.STEP_BUCKETS)
+        d["WIDTH_BUCKETS"] = list(self.WIDTH_BUCKETS)
         return d
 
     @classmethod
@@ -100,7 +108,7 @@ class CFG:
         kw = {}
         for k, v in data.items():
             if k in fields:
-                if k in ("BATCH_BUCKETS", "STEP_BUCKETS"):
+                if k in ("BATCH_BUCKETS", "STEP_BUCKETS", "WIDTH_BUCKETS"):
                     v = tuple(v)
                 kw[k] = v
         return dataclasses.replace(cfg, **kw)

@@ -332,19 +332,35 @@ class DatasetGenerator:
 
     def generate_samples(self, num_samples: int,
                          texts: Optional[Sequence[str]] = None,
-                         min_words: int = 1, max_words: int = 14
+                         min_words: int = 1, max_words: int = 14,
+                         max_width: Optional[int] = None
                          ) -> List[Dict[str, object]]:
         """In-memory samples for the Trainer: [{image u8 [H,W'], text}].
 
         max_words defaults high enough to cover full-width document lines —
         an AR decoder trained only on short lines hallucinates/repeats past
-        its training length distribution.
+        its training length distribution. With ``max_width``, sampled lines
+        whose render exceeds it are resampled with a smaller word budget
+        (otherwise the collate crop truncates pixels while the label keeps
+        the full text — label noise that teaches the decoder to hallucinate).
+        Caller-provided ``texts`` are never resampled.
         """
         out = []
         for i in range(num_samples):
-            text = (texts[i % len(texts)] if texts
-                    else self._sample_line(min_words, max_words))
-            img = self.generate_one(text)
+            img = None
+            text = ""
+            budget = max_words
+            for _ in range(6):
+                text = (texts[i % len(texts)] if texts
+                        else self._sample_line(min_words, budget))
+                img = self.generate_one(text)
+                if img is None:
+                    break
+                if (texts is not None or max_width is None
+                        or img.shape[1] <= max_width):
+                    break
+                budget = max(min_words, budget * 2 // 3)
+                img = None
             if img is not None:
                 out.append({"image": img, "text": text})
         return out

@@ -254,8 +254,14 @@ class DBDetector:
                 angle += 90
             target_pad_w = (w * self.padding_pct) + (h * 0.5) + self.padding_px
             target_pad_h = (h * self.padding_y_pct) + self.padding_y_px
-            pw = min(target_pad_w, max(0, max_pad_w[i]))
-            ph = min(target_pad_h, max(0, max_pad_h[i]))
+            # Shared-budget clamp: the reference (db/model.py:404-406) lets a
+            # box consume the ENTIRE gap to its nearest neighbor — when both
+            # sides do, the padded boxes end up touching and the recognizer's
+            # +5px crop window bleeds the neighboring line's pixels into the
+            # crop (dense layouts merge lines). Each box may take at most
+            # half the gap, so half the clearance always survives padding.
+            pw = min(target_pad_w, max(0.0, max_pad_w[i] * 0.5))
+            ph = min(target_pad_h, max(0.0, max_pad_h[i] * 0.5))
             new_box = native.box_points(((cx, cy), (w + pw, h + ph), angle))
             out.append(np.int32(np.round(new_box)))
         return out

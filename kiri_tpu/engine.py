@@ -120,13 +120,39 @@ class RecognizerEngine:
         mem, memp, ctc, ids, conf, est = self._encode_jit(self.variables, imgs)
         return self._finish(memp, ctc, ids, conf, est, n, method)
 
-    def recognize_batch(self, imgs_u8: np.ndarray, method: str) -> List[Tuple[str, float]]:
-        """Recognize N line images. method in {"ctc", "decoder", "beam"}."""
+    def recognize_batch(self, imgs_u8: np.ndarray, method: str,
+                        widths: Optional[np.ndarray] = None
+                        ) -> List[Tuple[str, float]]:
+        """Recognize N line images. method in {"ctc", "decoder", "beam"}.
+
+        With ``widths`` (per-row content widths from preprocess_regions) the
+        batch is split into width buckets (cfg.WIDTH_BUCKETS) and each group
+        runs a program sliced to its bucket — encoder FLOPs and decode memory
+        scale with width, so a page of mostly-short lines costs a fraction of
+        all-full-width dispatches. Results come back in input order.
+        """
         imgs_u8 = np.asarray(imgs_u8)
         if imgs_u8.shape[0] == 0:
             return []
-        memp, ctc, ids, conf, est, n = self.encode_batch(imgs_u8)
-        return self._finish(memp, ctc, ids, conf, est, n, method)
+        if widths is None:
+            memp, ctc, ids, conf, est, n = self.encode_batch(imgs_u8)
+            return self._finish(memp, ctc, ids, conf, est, n, method)
+
+        from .ops.preprocess import pick_width_bucket
+
+        n = imgs_u8.shape[0]
+        groups: Dict[int, List[int]] = {}
+        for i in range(n):
+            groups.setdefault(
+                pick_width_bucket(self.cfg, int(widths[i])), []).append(i)
+        out: List[Optional[Tuple[str, float]]] = [None] * n
+        for bw, idxs in sorted(groups.items()):
+            sub = np.ascontiguousarray(imgs_u8[np.asarray(idxs), :, :bw])
+            memp, ctc, ids, conf, est, m = self.encode_batch(sub)
+            for i, res in zip(idxs, self._finish(memp, ctc, ids, conf, est,
+                                                 m, method)):
+                out[i] = res
+        return out  # type: ignore[return-value]
 
     def _finish(self, memp, ctc, ids, conf, est, n: int, method: str
                 ) -> List[Tuple[str, float]]:

@@ -141,29 +141,59 @@ def crop_region(img_gray: np.ndarray, box: Tuple[int, int, int, int],
     return roi
 
 
+def content_width(shape: Tuple[int, int], h: int, w: int) -> int:
+    """Width the aspect-preserving resize-to-height-h produces, capped at w
+    (i.e. how many columns of the padded [h, w] canvas hold real content)."""
+    ih, iw = shape[:2]
+    if ih <= 0 or iw <= 0:
+        return w
+    return min(w, max(1, int(round(iw * (h / float(ih))))))
+
+
+def width_buckets(cfg) -> List[int]:
+    """The usable width buckets for this config: configured buckets that fit
+    inside IMG_W, with IMG_W itself always the final bucket."""
+    bs = sorted(b for b in getattr(cfg, "WIDTH_BUCKETS", ()) if b < cfg.IMG_W)
+    return bs + [cfg.IMG_W]
+
+
+def pick_width_bucket(cfg, w: int) -> int:
+    """Smallest width bucket that holds content width ``w``."""
+    for b in width_buckets(cfg):
+        if w <= b:
+            return b
+    return cfg.IMG_W
+
+
 def preprocess_regions(cfg, img_gray: np.ndarray,
                        boxes: Sequence[Tuple[int, int, int, int]],
-                       extra_padding: int = 5) -> Tuple[np.ndarray, List[int]]:
+                       extra_padding: int = 5
+                       ) -> Tuple[np.ndarray, List[int], np.ndarray]:
     """Crop + preprocess all boxes of a page into one uint8 [N, H, W] batch.
 
     Replaces the reference per-box Python/model round-trips
     (kiri_ocr/core.py:770-793) with a single host pass; the device then sees
-    one batched call. Returns (batch, kept_indices) where kept_indices maps
-    batch rows back to input box indices (empty crops are dropped, matching
-    the reference `continue`).
+    one batched call. Returns (batch, kept_indices, content_widths) where
+    kept_indices maps batch rows back to input box indices (empty crops are
+    dropped, matching the reference `continue`) and content_widths[i] is the
+    number of non-pad columns of row i — the engine groups rows into width
+    buckets from it so narrow lines skip full-width compute.
     """
     out = []
     kept = []
+    widths = []
     for i, box in enumerate(boxes):
         roi = crop_region(img_gray, box, extra_padding)
         if roi is None:
             continue
         roi = invert_if_dark(to_gray(roi))
+        widths.append(content_width(roi.shape, cfg.IMG_H, cfg.IMG_W))
         out.append(resize_keep_ratio_pad_np(roi, cfg.IMG_H, cfg.IMG_W))
         kept.append(i)
     if not out:
-        return np.zeros((0, cfg.IMG_H, cfg.IMG_W), dtype=np.uint8), kept
-    return np.stack(out), kept
+        return (np.zeros((0, cfg.IMG_H, cfg.IMG_W), dtype=np.uint8), kept,
+                np.zeros((0,), np.int32))
+    return np.stack(out), kept, np.asarray(widths, np.int32)
 
 
 def normalize_u8(batch_u8, dtype):

@@ -270,10 +270,11 @@ class OCR:
 
         with timer.stage("preprocess"):
             img_gray = self._load_gray(image_path)
-            batch, kept = preprocess_regions(self.cfg, img_gray, boxes,
-                                             extra_padding=5)
+            batch, kept, widths = preprocess_regions(self.cfg, img_gray, boxes,
+                                                     extra_padding=5)
         with timer.stage("recognize"):
-            recognized = self.engine.recognize_batch(batch, self.decode_method)
+            recognized = self.engine.recognize_batch(batch, self.decode_method,
+                                                     widths=widths)
 
         results = []
         for row, bi in enumerate(kept):
@@ -306,8 +307,10 @@ class OCR:
             print(f"🔍 Detected {total_regions} regions")
 
         img_gray = self._load_gray(image_path)
-        batch, kept = preprocess_regions(self.cfg, img_gray, boxes, extra_padding=5)
-        recognized = self.engine.recognize_batch(batch, self.decode_method)
+        batch, kept, widths = preprocess_regions(self.cfg, img_gray, boxes,
+                                                 extra_padding=5)
+        recognized = self.engine.recognize_batch(batch, self.decode_method,
+                                                 widths=widths)
         by_index = {bi: rec for bi, rec in zip(kept, recognized)}
 
         for i, (box, det_conf) in enumerate(zip(boxes, det_confs), 1):
@@ -421,8 +424,8 @@ class OCR:
         method = (self._normalize_decode_method(decode_method)
                   if decode_method is not None else self.decode_method)
         total_regions = len(boxes)
-        batch, kept = preprocess_regions(self.cfg, img_gray, boxes,
-                                         extra_padding=5)
+        batch, kept, _ = preprocess_regions(self.cfg, img_gray, boxes,
+                                            extra_padding=5)
         record_lists = self.engine.stream_records_batch(batch, method)
         by_index = {bi: recs for bi, recs in zip(kept, record_lists)}
 

@@ -236,6 +236,40 @@ def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
+def width_bucket_plan(rng: np.random.Generator, samples, cfg: CFG,
+                      batch_size: int,
+                      full_width_prob: float = 0.25) -> List[Tuple[List[int], int]]:
+    """One epoch's batch plan: [(sample_indices, pad_width), ...], shuffled.
+
+    Samples are grouped by the width bucket of their aspect-resized content
+    (cfg.WIDTH_BUCKETS) so most batches pad only to their bucket — the same
+    bucketing the inference engine uses, which keeps train and serve
+    distributions aligned. Remainder chunks are filled by resampling within
+    the group (keeps every batch shape in the compiled-program set). A
+    ``full_width_prob`` fraction of batches pads to IMG_W regardless, so the
+    model also sees the long-pad layout the single-line API produces.
+    """
+    from ..ops.preprocess import content_width, pick_width_bucket
+
+    groups: Dict[int, List[int]] = {}
+    for i, s in enumerate(samples):
+        nw = content_width(np.asarray(s["image"]).shape, cfg.IMG_H, cfg.IMG_W)
+        groups.setdefault(pick_width_bucket(cfg, nw), []).append(i)
+    plan: List[Tuple[List[int], int]] = []
+    for bw, idxs in groups.items():
+        order = rng.permutation(len(idxs))
+        for s0 in range(0, len(idxs), batch_size):
+            chunk = [idxs[int(j)] for j in order[s0: s0 + batch_size]]
+            if len(chunk) < batch_size:
+                extra = rng.choice(idxs, size=batch_size - len(chunk),
+                                   replace=len(idxs) < batch_size)
+                chunk = chunk + [int(j) for j in extra]
+            w = cfg.IMG_W if rng.random() < full_width_prob else bw
+            plan.append((chunk, w))
+    rng.shuffle(plan)
+    return plan
+
+
 # ---------------------------------------------------------------------------
 # Trainer
 # ---------------------------------------------------------------------------
@@ -396,14 +430,14 @@ def train_loop(cfg: CFG, tok: CharTokenizer, tc: TrainConfig,
     start_epoch = trainer.epoch
     for epoch in range(start_epoch, tc.epochs):
         trainer.epoch = epoch
-        order = rng.permutation(n)
+        plan = width_bucket_plan(rng, train_samples, cfg, tc.batch_size)
         t0 = time.time()
         epoch_metrics: Dict[str, float] = {}
         n_steps = 0
-        for bi in range(steps_per_epoch):
-            idx = order[bi * tc.batch_size: (bi + 1) * tc.batch_size]
+        steps_per_epoch = len(plan)
+        for bi, (idx, pad_w) in enumerate(plan):
             batch = collate([train_samples[int(i)] for i in idx], tok,
-                            tc.max_seq_len, img_hw=(cfg.IMG_H, cfg.IMG_W))
+                            tc.max_seq_len, img_hw=(cfg.IMG_H, pad_w))
             m = trainer.run_step(batch)
             n_steps += 1
             for k, v in m.items():

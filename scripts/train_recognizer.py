@@ -44,7 +44,7 @@ def main() -> None:
     gen = MultilingualDatasetGenerator(str(out / "_gen_cache"),
                                        height=cfg.IMG_H, augment=True,
                                        khmer_ratio=args.khmer_ratio)
-    samples = gen.generate_samples(args.samples)
+    samples = gen.generate_samples(args.samples, max_width=cfg.IMG_W)
     n_val = max(64, len(samples) // 50)
     val = samples[:n_val]
     train = samples[n_val:]

@@ -258,3 +258,37 @@ def test_find_default_model_tries_hub_when_no_local(monkeypatch, tmp_path):
         assert calls == [TextDetector.DEFAULT_HUB_REPO]
     else:
         assert calls == []
+
+
+def test_smart_padding_shared_budget_no_merge():
+    """Regression (round-1 'dense layout merges adjacent lines'): with the
+    reference clamp two stacked lines could each consume the full gap and end
+    up touching; the shared-budget clamp must leave >= half the gap intact."""
+    det = _bare_db_detector()
+
+    def quad(x, y, w, h):
+        return np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]],
+                        np.int32)
+
+    for gap in (4, 6, 8, 12):
+        boxes = [quad(10, 50 + i * (18 + gap), 200, 18) for i in range(5)]
+        padded = det._apply_smart_padding(boxes)
+        for i in range(len(padded) - 1):
+            bot_i = padded[i][:, 1].max()
+            top_j = padded[i + 1][:, 1].min()
+            # >= half the original clearance must survive (int rounding -1).
+            assert top_j - bot_i >= gap / 2 - 1, (
+                f"gap {gap}: padded boxes {i},{i + 1} separated by "
+                f"{top_j - bot_i}")
+
+
+def test_smart_padding_isolated_box_gets_full_target():
+    """A box with no neighbors is padded by the full target amounts."""
+    det = _bare_db_detector()
+    box = np.array([[100, 100], [300, 100], [300, 124], [100, 124]], np.int32)
+    (padded,) = det._apply_smart_padding([box])
+    w0, h0 = 200, 24
+    pw = (padded[:, 0].max() - padded[:, 0].min()) - w0
+    ph = (padded[:, 1].max() - padded[:, 1].min()) - h0
+    assert pw >= (w0 * det.padding_pct + h0 * 0.5 + det.padding_px) - 2
+    assert ph >= (h0 * det.padding_y_pct + det.padding_y_px) - 2

@@ -69,7 +69,7 @@ def test_preprocess_regions_batch():
     img = np.full((100, 200), 255, np.uint8)
     img[10:30, 10:100] = 0
     boxes = [(10, 10, 90, 20), (300, 300, 10, 10), (0, 50, 80, 30)]
-    batch, kept = preprocess_regions(CFG_SMALL, img, boxes)
+    batch, kept, widths = preprocess_regions(CFG_SMALL, img, boxes)
     assert batch.shape == (2, 48, 160)
     assert kept == [0, 2]
 
@@ -88,3 +88,30 @@ def test_preprocess_pil_reference_layout():
     out = preprocess_pil(CFG_SMALL, img)
     assert out.shape == (1, 1, 48, 160)
     assert abs(float(out.mean())) < 0.01  # 128 -> ~0.0
+
+
+def test_width_bucket_helpers():
+    from kiri_tpu.ops.preprocess import (content_width, pick_width_bucket,
+                                         width_buckets)
+
+    assert content_width((48, 100), 48, 640) == 100
+    assert content_width((96, 100), 48, 640) == 50   # downscale by 2
+    assert content_width((24, 1000), 48, 640) == 640  # capped
+    bs = width_buckets(CFG_SMALL)
+    assert bs[-1] == CFG_SMALL.IMG_W
+    assert all(b <= CFG_SMALL.IMG_W for b in bs)
+    assert pick_width_bucket(CFG_SMALL, 1) == bs[0]
+    assert pick_width_bucket(CFG_SMALL, CFG_SMALL.IMG_W) == CFG_SMALL.IMG_W
+    assert pick_width_bucket(CFG_SMALL, 10 ** 9) == CFG_SMALL.IMG_W
+
+
+def test_preprocess_regions_returns_widths():
+    img = np.full((100, 400), 255, np.uint8)
+    img[10:30, 10:40] = 0
+    batch, kept, widths = preprocess_regions(CFG_SMALL, img,
+                                             [(10, 10, 30, 20),
+                                              (0, 40, 380, 20)])
+    assert len(widths) == len(kept) == batch.shape[0]
+    # Narrow first crop keeps a sub-IMG_W content width; the page-wide
+    # second crop caps at IMG_W.
+    assert widths[0] < widths[1] == CFG_SMALL.IMG_W
