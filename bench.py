@@ -9,9 +9,11 @@ Baseline: the reference (kiri-ocr PyTorch, CTC 'fast' decode) averages
 
 The workload mirrors the reference harness (benchmark/run_benchmark.py):
 synthetic single text lines rendered at model resolution, recognized with
-the fast CTC path. Here recognition runs as batched compiled dispatches on
-one chip; the model is the flagship architecture (ENC_DIM=256, 4+3 layers —
-same compute as the reference's ~10M-param model).
+the fast CTC path. Here recognition runs as batched, width-bucketed compiled
+dispatches on one chip; the model is the flagship architecture (ENC_DIM=256,
+4+3 layers — same compute as the reference's ~10M-param model). Beam-decode
+throughput/CER are reported as secondary keys so the "matched CER across
+fast/beam" claim is backed by the driver artifact itself.
 """
 from __future__ import annotations
 
@@ -28,7 +30,26 @@ sys.path.insert(0, str(REPO))
 REFERENCE_LINES_PER_SEC = 1000.0 / 1606.8  # SURVEY §6 published avg latency
 
 N_LINES = 512
+N_LINES_BEAM = 128
 BATCH = 128
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for x, ca in enumerate(a, 1):
+        cur = [x]
+        for y, cb in enumerate(b, 1):
+            cur.append(min(prev[y] + 1, cur[y - 1] + 1,
+                           prev[y - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _avg_cer(texts, outs) -> float:
+    return float(np.mean([_lev(t, o[0]) / max(1, len(t))
+                          for t, o in zip(texts, outs)]))
 
 
 def main() -> None:
@@ -62,50 +83,38 @@ def main() -> None:
     gen = DatasetGenerator(tmp, height=cfg.IMG_H, augment=False)
     charset = "".join(t for t in tok.token_to_id if len(t) == 1)
     from kiri_tpu.data.synth import sample_text
-    from kiri_tpu.ops.preprocess import resize_keep_ratio_pad_np
+    from kiri_tpu.ops.preprocess import content_width, resize_keep_ratio_pad_np
 
     rng_texts = [sample_text(gen.rng, 2, 8, charset) for _ in range(N_LINES)]
     samples = gen.generate_samples(N_LINES, texts=rng_texts)
+    texts = [s["text"] for s in samples]
+    widths = np.asarray([content_width(s["image"].shape, cfg.IMG_H, cfg.IMG_W)
+                         for s in samples], np.int32)
     imgs = np.stack([
         resize_keep_ratio_pad_np(s["image"], cfg.IMG_H, cfg.IMG_W)
         for s in samples])
 
-    # Warmup / compile.
-    engine.recognize_batch(imgs[:BATCH], "ctc")
+    def run(method: str, n: int):
+        """(lines_per_sec, avg_cer) over the first n lines, width-bucketed."""
+        engine.recognize_batch(imgs[:BATCH], method, widths=widths[:BATCH])
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(0, n, BATCH):
+            outs.extend(engine.recognize_batch(
+                imgs[i: i + BATCH], method, widths=widths[i: i + BATCH]))
+        dt = time.perf_counter() - t0
+        return len(outs) / dt, _avg_cer(texts[:len(outs)], outs)
+
     jax.block_until_ready(jax.numpy.zeros(()))
+    lines_per_sec, avg_cer = run("ctc", N_LINES)
+    beam_lps, beam_cer = run("beam", N_LINES_BEAM)
 
-    t0 = time.perf_counter()
-    n_done = 0
-    all_out = []
-    for i in range(0, len(imgs), BATCH):
-        out = engine.recognize_batch(imgs[i: i + BATCH], "ctc")
-        all_out.extend(out)
-        n_done += len(out)
-    dt = time.perf_counter() - t0
-    lines_per_sec = n_done / dt
-
-    # CER (meaningful only with a trained checkpoint; random weights -> ~1.0).
-    def lev(a, b):
-        if len(a) < len(b):
-            a, b = b, a
-        prev = list(range(len(b) + 1))
-        for x, ca in enumerate(a, 1):
-            cur = [x]
-            for y, cb in enumerate(b, 1):
-                cur.append(min(prev[y] + 1, cur[y - 1] + 1,
-                               prev[y - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
-
-    cers = [lev(t, o[0]) / max(1, len(t))
-            for t, o in zip([s["text"] for s in samples], all_out)]
-    avg_cer = float(np.mean(cers))
-
-    # p50 single-line latency (the interactive metric).
+    # p50 single-line latency (the interactive metric), bucketed batch-1.
+    engine.recognize_batch(imgs[:1], "ctc", widths=widths[:1])
     lat = []
     for i in range(20):
         t0 = time.perf_counter()
-        engine.recognize_batch(imgs[i: i + 1], "ctc")
+        engine.recognize_batch(imgs[i: i + 1], "ctc", widths=widths[i: i + 1])
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1000)
 
@@ -116,8 +125,10 @@ def main() -> None:
         "vs_baseline": round(lines_per_sec / REFERENCE_LINES_PER_SEC, 2),
         "p50_line_latency_ms": round(p50_ms, 2),
         "avg_cer": round(avg_cer, 4),
+        "beam_lines_per_sec": round(beam_lps, 2),
+        "beam_avg_cer": round(beam_cer, 4),
         "trained_checkpoint": ckpt.exists(),
-        "n_lines": n_done,
+        "n_lines": N_LINES,
         "batch": BATCH,
     }
     print(json.dumps(result))

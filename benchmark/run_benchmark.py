@@ -56,10 +56,14 @@ def main() -> None:
                     choices=["fast", "accurate", "beam"])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--output-dir", default="benchmark")
+    ap.add_argument("--latency-samples", type=int, default=30,
+                    help="batch-1 dispatches for the p50 latency row")
     args = ap.parse_args()
 
-    from kiri_tpu.data.synth import FontManager, ImageRenderer, sample_text
-    from kiri_tpu.ops.preprocess import resize_keep_ratio_pad_np
+    from kiri_tpu.data.synth import (FontManager, ImageRenderer,
+                                     sample_khmer_text, sample_text)
+    from kiri_tpu.ops.preprocess import (content_width,
+                                         resize_keep_ratio_pad_np)
     from kiri_tpu.pipeline import OCR
 
     ocr = OCR(args.model, det_method="legacy", decode_method=args.decode)
@@ -67,37 +71,54 @@ def main() -> None:
     charset = "".join(t for t in tok.token_to_id if len(t) == 1)
 
     fonts = FontManager()
-    pool = fonts.english_fonts or fonts.font_paths
     renderer = ImageRenderer(height=cfg.IMG_H, augment=False)
     import random
 
     rng = random.Random(42)
 
+    # Font rows: English TTFs plus the Khmer pool (the reference benchmarks
+    # 10 Khmer fonts, benchmark/generate_bench_data.py:26-37; on hosts with
+    # no Khmer TTF the deterministic pseudo-glyph pool stands in).
+    en_pool = (fonts.english_fonts or fonts.font_paths)[:6]
+    kh_pool = fonts.khmer_fonts[:4]
+    jobs = [(p, "en") for p in en_pool] + [(p, "km") for p in kh_pool]
+
+    def _sample(script: str) -> str:
+        if script == "km":
+            text = sample_khmer_text(rng, 2, 5)
+        else:
+            text = sample_text(rng, 2, 8)
+        return "".join(c for c in text if c in charset) or "a"
+
     per_font = {}
-    for font_path in pool[:10]:
+    for font_path, script in jobs:
         name = Path(font_path).stem
-        texts, imgs = [], []
+        texts, imgs, widths = [], [], []
         for _ in range(args.lines_per_font):
-            text = sample_text(rng, 2, 8, charset)
+            text = _sample(script)
             try:
                 font = fonts.get(font_path, 32)
                 img = renderer.render(text, font, rng)
             except Exception:
                 continue
             texts.append(text)
+            widths.append(content_width(img.shape, cfg.IMG_H, cfg.IMG_W))
             imgs.append(resize_keep_ratio_pad_np(img, cfg.IMG_H, cfg.IMG_W))
         if not imgs:
             continue
         batch = np.stack(imgs)
+        widths = np.asarray(widths, np.int32)
 
-        # Warmup (compile) then timed batched recognition.
-        ocr.engine.recognize_batch(batch[: args.batch],
-                                   ocr.decode_method)
+        # Warmup (compile) then timed batched recognition through the same
+        # width-bucketed dispatch the document pipeline uses.
+        ocr.engine.recognize_batch(batch[: args.batch], ocr.decode_method,
+                                   widths=widths[: args.batch])
         t0 = time.perf_counter()
         outs = []
         for i in range(0, len(batch), args.batch):
-            outs.extend(ocr.engine.recognize_batch(batch[i: i + args.batch],
-                                                   ocr.decode_method))
+            outs.extend(ocr.engine.recognize_batch(
+                batch[i: i + args.batch], ocr.decode_method,
+                widths=widths[i: i + args.batch]))
         dt = time.perf_counter() - t0
 
         cers = [cer(t, o[0]) for t, o in zip(texts, outs)]
@@ -105,6 +126,7 @@ def main() -> None:
                  == unicodedata.normalize("NFC", o[0])
                  for t, o in zip(texts, outs)]
         per_font[name] = {
+            "script": script,
             "cer": float(np.mean(cers)),
             "accuracy": float(np.mean([1 - c for c in cers])),
             "line_accuracy": float(np.mean(exact)),
@@ -123,11 +145,35 @@ def main() -> None:
     avg = {k: float(np.mean([v[k] for v in per_font.values()]))
            for k in ("cer", "accuracy", "line_accuracy", "lines_per_sec",
                      "ms_per_line")}
+
+    # Batch-1 p50 latency (interactive path): single narrow line, repeated
+    # dispatches after warmup.
+    lat_font = fonts.get(en_pool[0], 32) if en_pool else None
+    p50_ms = None
+    if lat_font is not None and args.latency_samples > 0:
+        text = _sample("en")
+        img = renderer.render(text, lat_font, rng)
+        w1 = np.asarray([content_width(img.shape, cfg.IMG_H, cfg.IMG_W)],
+                        np.int32)
+        b1 = resize_keep_ratio_pad_np(img, cfg.IMG_H, cfg.IMG_W)[None]
+        ocr.engine.recognize_batch(b1, ocr.decode_method, widths=w1)
+        lat = []
+        for _ in range(args.latency_samples):
+            t0 = time.perf_counter()
+            ocr.engine.recognize_batch(b1, ocr.decode_method, widths=w1)
+            lat.append((time.perf_counter() - t0) * 1000)
+        p50_ms = float(np.percentile(lat, 50))
+        avg["p50_batch1_ms"] = p50_ms
+        print(f"batch-1 p50 latency: {p50_ms:.1f} ms")
+
     results = {"decode_method": args.decode, "per_font": per_font,
                "average": avg}
     out = Path(args.output_dir)
     out.mkdir(exist_ok=True)
-    (out / "results.json").write_text(json.dumps(results, indent=2))
+    (out / f"results_{args.decode}.json").write_text(
+        json.dumps(results, indent=2))
+    if args.decode == "fast":
+        (out / "results.json").write_text(json.dumps(results, indent=2))
     lines = [f"{'FONT':40s} {'CER':>8s} {'ACC':>7s} {'LINES/S':>9s}"]
     for name, v in per_font.items():
         lines.append(f"{name:40s} {v['cer']:8.4f} "

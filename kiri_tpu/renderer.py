@@ -49,6 +49,28 @@ class DocumentRenderer:
                 continue
         if self.font is None:
             self.font = ImageFont.load_default()
+        # Khmer overlay fallback (reference renderer.py:21-41 hunts for a
+        # Khmer-capable system font): route Khmer text through a font that
+        # can draw it — a real Khmer TTF if the default can't, else the
+        # deterministic pseudo-glyph pool the generators use.
+        self._khmer_font = None
+
+    _KHMER = (0x1780, 0x17FF)
+
+    def _font_for(self, text: str):
+        if not any(self._KHMER[0] <= ord(c) <= self._KHMER[1] for c in text):
+            return self.font
+        if self._khmer_font is None:
+            try:
+                from .data.synth import FontManager
+
+                fm = FontManager()
+                path = fm.khmer_fonts[0] if fm.khmer_fonts else None
+                self._khmer_font = (fm.get(path, max(12, self.font_size))
+                                    if path else self.font)
+            except Exception:
+                self._khmer_font = self.font
+        return self._khmer_font
 
     @staticmethod
     def _load_rgb(image_path) -> Image.Image:
@@ -86,7 +108,7 @@ class DocumentRenderer:
             draw.rectangle([xoff + x, y, xoff + x + w, y + h],
                            outline=(200, 200, 200), width=1)
             draw.text((xoff + x + 2, y + max(0, (h - self.font_size) // 2)),
-                      text, fill=(0, 0, 0), font=self.font)
+                      text, fill=(0, 0, 0), font=self._font_for(text))
         canvas.save(output_path)
         return str(output_path)
 

@@ -83,3 +83,22 @@ def test_version(capsys):
     with pytest.raises(SystemExit):
         main(["--version"])
     assert "kiri-tpu" in capsys.readouterr().out
+
+
+def test_renderer_khmer_overlay(tmp_path):
+    """Khmer result text draws visible ink (reference renderer.py:21-41
+    falls back to a Khmer-capable font; here the pseudo-glyph pool)."""
+    import numpy as np
+    from PIL import Image
+
+    from kiri_tpu.renderer import DocumentRenderer
+
+    src = tmp_path / "doc.png"
+    Image.fromarray(np.full((100, 300), 255, np.uint8)).convert(
+        "RGB").save(src)
+    r = DocumentRenderer()
+    out = r.draw_results(str(src), [
+        {"box": [10, 10, 200, 30], "text": "កខគ", "confidence": 0.95}],
+        str(tmp_path / "out.png"))
+    arr = np.asarray(Image.open(out).convert("L"))
+    assert (arr[:, 310:] < 128).sum() > 30, "no ink for Khmer overlay"

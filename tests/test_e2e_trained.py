@@ -141,3 +141,48 @@ def test_config5_streaming(ocr_fast, document):
         if not c.get("region_start"):
             region_text[c["region_number"]] = c["text"]
     assert "".join(region_text.values())
+
+
+def _model_has_khmer() -> bool:
+    import json as _json
+
+    vp = MODELS / "vocab.json"
+    if not vp.exists():
+        return False
+    vocab = _json.loads(vp.read_text())
+    toks = vocab if isinstance(vocab, list) else list(vocab)
+    return any(len(t) == 1 and 0x1780 <= ord(t) <= 0x17FF for t in toks)
+
+
+@pytest.mark.skipif(not HAVE_DB, reason="trained DB detector not present")
+@pytest.mark.skipif(not _model_has_khmer(),
+                    reason="committed model has no Khmer vocab")
+def test_config3_mixed_khmer_english_accurate(tmp_path):
+    """Driver config #3: mixed Khmer+English page, accurate decode.
+
+    Khmer renders through the committed model's training glyph pool (real
+    TTFs when the host has them, else the deterministic pseudo-glyph pool,
+    data/pseudofont.py). Reference semantics: NFC-normalized CER
+    (reference benchmark/run_benchmark.py:111-112)."""
+    import unicodedata
+
+    from kiri_tpu.data.docsynth import DocumentGenerator
+    from kiri_tpu.pipeline import OCR
+
+    gen = DocumentGenerator(640, 640, seed=77, augment=False,
+                            khmer_ratio=0.5)
+    doc = gen.generate()
+    assert any(any(0x1780 <= ord(c) <= 0x17FF for c in t)
+               for t in doc["texts"]), "document has no Khmer lines"
+    p = tmp_path / "mixed.png"
+    Image.fromarray(doc["image"]).save(p)
+
+    ocr = OCR(str(MODELS / "model.safetensors"), det_method="db",
+              det_model_path=str(MODELS / "detector.safetensors"),
+              decode_method="accurate")
+    text, results = ocr.extract_text(str(p))
+    assert results, "no regions detected on the mixed-script page"
+    gt = unicodedata.normalize("NFC", "\n".join(doc["texts"]))
+    hyp = unicodedata.normalize("NFC", text)
+    cer = _lev(gt, hyp) / max(1, len(gt))
+    assert cer < 0.12, f"mixed-script CER {cer:.4f}"
