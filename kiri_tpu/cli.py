@@ -127,6 +127,7 @@ def _build_parser() -> argparse.ArgumentParser:
     td.add_argument("--image-size", type=int, default=640)
     td.add_argument("--output-dir", default=None)
     td.add_argument("--pool-size", type=int, default=256)
+    td.add_argument("--khmer-ratio", type=float, default=0.3)
 
     ic = sub.add_parser("init-config", help="Create a training config file")
     ic.add_argument("--output", "-o", default="train_config.yaml")
@@ -323,6 +324,7 @@ def run_train_detector(args) -> None:
         tc = DBTrainConfig(steps=args.steps, batch_size=args.batch_size,
                            image_size=args.image_size,
                            pool_size=args.pool_size,
+                           khmer_ratio=args.khmer_ratio,
                            out_dir=args.output_dir or "checkpoints_db")
         if args.lr:
             tc.lr = args.lr
@@ -333,6 +335,7 @@ def run_train_detector(args) -> None:
         tc = CRAFTTrainConfig(steps=args.steps, batch_size=args.batch_size,
                               image_size=args.image_size,
                               pool_size=args.pool_size,
+                              khmer_ratio=args.khmer_ratio,
                               out_dir=args.output_dir or "checkpoints_craft")
         if args.lr:
             tc.lr = args.lr

@@ -59,7 +59,15 @@ class OCR:
         decode_method: DecodeMethod = "accurate",
         use_beam_search: Optional[bool] = None,  # deprecated
         use_fp16: Optional[bool] = None,
+        preprocess: str = "host",
     ):
+        if preprocess not in ("host", "device"):
+            raise ValueError(
+                f"Invalid preprocess '{preprocess}'. Choose 'host' (cv2 "
+                f"resize, ships 48xW u8 tensors — wins when host->device "
+                f"bandwidth is the bottleneck) or 'device' (Pallas fused "
+                f"invert+resize+pad+normalize, ships raw crops — wins when "
+                f"host CPU is).")
         if use_beam_search is not None:
             warnings.warn(
                 "use_beam_search is deprecated. Use decode_method instead:\n"
@@ -80,6 +88,7 @@ class OCR:
         self.decode_method = decode_method
         self.use_fp16 = use_fp16
         self.use_beam_search = decode_method == "beam"
+        self.preprocess = preprocess
 
         self.cfg: Optional[CFG] = None
         self.tokenizer: Optional[CharTokenizer] = None
@@ -268,13 +277,28 @@ class OCR:
         if verbose:
             print(f"🔍 Detected {len(boxes)} regions")
 
-        with timer.stage("preprocess"):
-            img_gray = self._load_gray(image_path)
-            batch, kept, widths = preprocess_regions(self.cfg, img_gray, boxes,
-                                                     extra_padding=5)
-        with timer.stage("recognize"):
-            recognized = self.engine.recognize_batch(batch, self.decode_method,
-                                                     widths=widths)
+        img_gray = self._load_gray(image_path)
+        if self.preprocess == "device":
+            # Pallas path: ship raw crops; invert+resize+pad+normalize run
+            # fused on-chip (kernels/resize.py).
+            with timer.stage("preprocess"):
+                crops, kept = [], []
+                for i, box in enumerate(boxes):
+                    roi = crop_region(img_gray, box, 5)
+                    if roi is None:
+                        continue
+                    crops.append(to_gray(roi))
+                    kept.append(i)
+            with timer.stage("recognize"):
+                recognized = self.engine.recognize_crops(crops,
+                                                         self.decode_method)
+        else:
+            with timer.stage("preprocess"):
+                batch, kept, widths = preprocess_regions(
+                    self.cfg, img_gray, boxes, extra_padding=5)
+            with timer.stage("recognize"):
+                recognized = self.engine.recognize_batch(
+                    batch, self.decode_method, widths=widths)
 
         results = []
         for row, bi in enumerate(kept):

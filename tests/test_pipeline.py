@@ -128,3 +128,28 @@ def test_recognize_single_line_image(ocr, tmp_path):
     img.save(p)
     text, conf = ocr.recognize_single_line_image(str(p))
     assert isinstance(text, str) and 0 <= conf <= 1
+
+
+def test_device_preprocess_path(ckpt, doc):
+    """preprocess='device' routes process_document through the Pallas fused
+    preprocessing (engine.recognize_crops) and yields the same result
+    schema/geometry as the host path."""
+    from kiri_tpu.pipeline import OCR
+
+    ocr_dev = OCR(ckpt, det_method="legacy", decode_method="fast",
+                  preprocess="device")
+    results = ocr_dev.process_document(doc)
+    assert len(results) >= 3
+    for r in results:
+        assert set(r) >= {"box", "text", "confidence", "det_confidence",
+                          "line_number"}
+    ocr_host = OCR(ckpt, det_method="legacy", decode_method="fast")
+    host = ocr_host.process_document(doc)
+    assert [r["box"] for r in results] == [r["box"] for r in host]
+
+
+def test_invalid_preprocess_rejected(ckpt):
+    from kiri_tpu.pipeline import OCR
+
+    with pytest.raises(ValueError, match="preprocess"):
+        OCR(ckpt, preprocess="gpu")
