@@ -114,14 +114,22 @@ class PseudoGlyphFont:
             n_seg = 6
         elif cls == "right":
             w, h = max(2, round(0.34 * s)), self._body_h
-            n_seg = 4
+            n_seg = 5
         else:  # above / below diacritics
-            w, h = max(2, round(0.42 * s)), max(2, round(0.24 * s))
+            w, h = max(4, round(0.50 * s)), max(3, round(0.30 * s))
             n_seg = 3
         rng = random.Random((cp << 4) | self.style)
+        stroke = max(1, round(s * (0.055 + 0.012 * self.style)))
+        if cls in ("above", "below"):
+            # Marks are too small for random-walk strokes to stay visually
+            # distinct (the recognizer's dominant confusions were between
+            # vowel marks U+17B7..U+17BB and dropped signs) — each mark
+            # codepoint gets a unique structured template instead.
+            arr = self._mark_template(cp, cls, w, h, stroke)
+            self._glyphs[key] = arr
+            return arr
         img = Image.new("L", (w, h), 0)
         draw = ImageDraw.Draw(img)
-        stroke = max(1, round(s * (0.055 + 0.012 * self.style)))
         # Random walk over a 5x5 lattice: connected strokes, distinct and
         # reproducible per codepoint.
         lat = [(round(x * (w - 1) / 4), round(y * (h - 1) / 4))
@@ -151,6 +159,65 @@ class PseudoGlyphFont:
             arr = sheared[:, :w] if sheared.shape[1] > w else sheared
         self._glyphs[key] = arr
         return arr
+
+    def _mark_template(self, cp: int, cls: str, w: int, h: int,
+                       stroke: int) -> np.ndarray:
+        """Distinct structured glyph for a combining mark: the codepoint's
+        rank within its class picks one of 16 templates (dot, bars, arcs,
+        zigzag, cross, ...), so every mark differs by *shape*, not by the
+        luck of a random walk."""
+        order = sorted(_ABOVE_MARKS if cls == "above" else _BELOW_MARKS)
+        idx = order.index(cp) if cp in order else cp % 16
+        img = Image.new("L", (w, h), 0)
+        d = ImageDraw.Draw(img)
+        x1, y1 = w - 1, h - 1
+        cx, cy = w // 2, h // 2
+        r = max(1, min(w, h) // 3)
+        t = idx % 16
+        if t == 0:      # filled dot
+            d.ellipse([cx - r, cy - r, cx + r, cy + r], fill=255)
+        elif t == 1:    # two dots horizontal
+            rr = max(1, r - 1)
+            d.ellipse([2, cy - rr, 2 + 2 * rr, cy + rr], fill=255)
+            d.ellipse([x1 - 2 - 2 * rr, cy - rr, x1 - 2, cy + rr], fill=255)
+        elif t == 2:    # horizontal bar
+            d.line([0, cy, x1, cy], fill=255, width=stroke)
+        elif t == 3:    # vertical bar
+            d.line([cx, 0, cx, y1], fill=255, width=stroke)
+        elif t == 4:    # circle outline
+            d.ellipse([cx - r, cy - r, cx + r, cy + r], outline=255,
+                      width=max(1, stroke - 1))
+        elif t == 5:    # zigzag
+            d.line([0, y1, w // 3, 0, 2 * w // 3, y1, x1, 0], fill=255,
+                   width=stroke)
+        elif t == 6:    # arc opening down
+            d.arc([0, 0, x1, 2 * h], 180, 360, fill=255, width=stroke)
+        elif t == 7:    # arc opening up
+            d.arc([0, -h, x1, y1], 0, 180, fill=255, width=stroke)
+        elif t == 8:    # triangle outline
+            d.polygon([cx, 0, x1, y1, 0, y1], outline=255)
+        elif t == 9:    # X cross
+            d.line([0, 0, x1, y1], fill=255, width=stroke)
+            d.line([0, y1, x1, 0], fill=255, width=stroke)
+        elif t == 10:   # plus
+            d.line([cx, 0, cx, y1], fill=255, width=stroke)
+            d.line([0, cy, x1, cy], fill=255, width=stroke)
+        elif t == 11:   # tilde wave
+            d.line([0, cy, w // 4, 0, 3 * w // 4, y1, x1, cy], fill=255,
+                   width=stroke)
+        elif t == 12:   # filled square
+            d.rectangle([cx - r, cy - r, cx + r, cy + r], fill=255)
+        elif t == 13:   # two dots vertical
+            rr = max(1, r - 1)
+            d.ellipse([cx - rr, 0, cx + rr, 2 * rr], fill=255)
+            d.ellipse([cx - rr, y1 - 2 * rr, cx + rr, y1], fill=255)
+        elif t == 14:   # L corner
+            d.line([0, 0, 0, y1], fill=255, width=stroke)
+            d.line([0, y1, x1, y1], fill=255, width=stroke)
+        else:           # hook: slash + dot
+            d.line([0, y1, x1, 0], fill=255, width=stroke)
+            d.ellipse([x1 - 2 * r, y1 - 2 * r, x1, y1], fill=255)
+        return np.asarray(img, dtype=np.uint8)
 
     # ------------------------------------------------------------ rendering
     def render(self, text: str) -> np.ndarray:
