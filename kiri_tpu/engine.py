@@ -28,7 +28,17 @@ from .tokenizer import CharTokenizer
 
 
 class RecognizerEngine:
-    def __init__(self, variables, cfg: CFG, tok: CharTokenizer):
+    def __init__(self, variables, cfg: CFG, tok: CharTokenizer, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh for multi-chip inference.
+        Parameters are placed per the tensor-parallel specs (pure DP meshes
+        degrade to replication) and input batches are sharded over the data
+        axis — each chip encodes its slice, XLA inserts any TP collectives.
+        The reference has no distributed inference (SURVEY §2.5)."""
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel import shard_variables
+
+            variables = shard_variables(variables, mesh)
         self.variables = variables
         self.cfg = cfg
         self.tok = tok
@@ -51,15 +61,32 @@ class RecognizerEngine:
     def _pad_batch(self, imgs: np.ndarray) -> Tuple[np.ndarray, int]:
         n = imgs.shape[0]
         bucket = D.pick_batch_bucket(self.cfg, n)
+        if self.mesh is not None:
+            from .parallel import DATA_AXIS
+
+            dp = self.mesh.shape[DATA_AXIS]
+            bucket = ((bucket + dp - 1) // dp) * dp
         if bucket > n:
             pad = np.zeros((bucket - n,) + imgs.shape[1:], imgs.dtype)
             imgs = np.concatenate([imgs, pad], axis=0)
         return imgs, n
 
+    def _place(self, imgs):
+        """Shard the batch dim over the mesh's data axis (no-op single-chip)."""
+        if self.mesh is None:
+            return imgs
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import DATA_AXIS
+
+        return jax.device_put(
+            imgs, NamedSharding(self.mesh, P(DATA_AXIS, None, None)))
+
     def encode_batch(self, imgs_u8: np.ndarray):
         """Returns (memp, ctc_logits, ctc_ids, ctc_conf, est_len, n_valid)."""
         padded, n = self._pad_batch(np.asarray(imgs_u8))
-        mem, memp, ctc, ids, conf, est = self._encode_jit(self.variables, padded)
+        mem, memp, ctc, ids, conf, est = self._encode_jit(
+            self.variables, self._place(padded))
         return memp, ctc, ids, conf, est, n
 
     def _decode_texts(self, out: D.DecodeOut, n: int) -> Tuple[List[str], np.ndarray, np.ndarray]:

@@ -116,3 +116,26 @@ def test_inference_batch_sharded(tok):
     sharded_imgs = shard_batch({"x": imgs}, mesh)["x"]
     out = np.asarray(jax.jit(fwd)(sharded_vars, sharded_imgs))
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+
+@needs_8
+@pytest.mark.parametrize("mp", [1, 2])
+def test_engine_multichip_inference_matches_single(tok, mp):
+    """Mesh-sharded inference (DP batch, TP params) returns the same texts
+    and confidences as the single-device engine."""
+    from kiri_tpu.engine import RecognizerEngine
+
+    variables = R.init_recognizer(jax.random.PRNGKey(0), CFG_TINY, tok)
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (6, 48, 160), np.uint8)
+    widths = np.asarray([60, 160, 100, 160, 40, 90], np.int32)
+
+    single = RecognizerEngine(variables, CFG_TINY, tok)
+    multi = RecognizerEngine(variables, CFG_TINY, tok,
+                             mesh=make_mesh(8, model_parallel=mp))
+    for method in ("ctc", "beam"):
+        a = single.recognize_batch(imgs, method, widths=widths)
+        b = multi.recognize_batch(imgs, method, widths=widths)
+        assert [t for t, _ in a] == [t for t, _ in b]
+        np.testing.assert_allclose([c for _, c in a], [c for _, c in b],
+                                   atol=1e-4)
