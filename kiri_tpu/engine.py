@@ -173,9 +173,14 @@ class RecognizerEngine:
             groups.setdefault(
                 pick_width_bucket(self.cfg, int(widths[i])), []).append(i)
         out: List[Optional[Tuple[str, float]]] = [None] * n
+        # Enqueue every bucket's encode before finishing any: dispatch is
+        # async, so bucket k+1's device compute overlaps the host-side CTC
+        # decode / beam launch for bucket k instead of serializing on it.
+        pending = []
         for bw, idxs in sorted(groups.items()):
             sub = np.ascontiguousarray(imgs_u8[np.asarray(idxs), :, :bw])
-            memp, ctc, ids, conf, est, m = self.encode_batch(sub)
+            pending.append((idxs, self.encode_batch(sub)))
+        for idxs, (memp, ctc, ids, conf, est, m) in pending:
             for i, res in zip(idxs, self._finish(memp, ctc, ids, conf, est,
                                                  m, method)):
                 out[i] = res
