@@ -1,0 +1,106 @@
+"""Evaluate a recognizer checkpoint: CER per decode method, split by script.
+
+Renders held-out synthetic lines (seed disjoint from training) through the
+same bilingual generator used for training data, recognizes them with each
+decode method, and reports CER + exact-line accuracy overall and per script
+(English / Khmer / mixed). Mirrors the reference harness's metric
+definitions (reference: benchmark/run_benchmark.py:15-39, NFC normalize at
+:111-112).
+
+Usage: python scripts/eval_recognizer.py [--model models/model.safetensors]
+           [--n 300] [--khmer-ratio 0.5] [--methods fast,accurate,beam]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import unicodedata
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for x, ca in enumerate(a, 1):
+        cur = [x]
+        for y, cb in enumerate(b, 1):
+            cur.append(min(prev[y] + 1, cur[y - 1] + 1,
+                           prev[y - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def script_of(text: str) -> str:
+    has_kh = any(0x1780 <= ord(c) <= 0x17FF for c in text)
+    has_en = any(c.isascii() and c.isalnum() for c in text)
+    if has_kh and has_en:
+        return "mixed"
+    return "khmer" if has_kh else "english"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="models/model.safetensors")
+    ap.add_argument("--n", type=int, default=300)
+    ap.add_argument("--khmer-ratio", type=float, default=0.5)
+    ap.add_argument("--seed", type=int, default=777)
+    ap.add_argument("--methods", default="fast,accurate,beam")
+    args = ap.parse_args()
+
+    from kiri_tpu.data.synth import MultilingualDatasetGenerator
+    from kiri_tpu.ops.preprocess import content_width, resize_keep_ratio_pad_np
+    from kiri_tpu.pipeline import OCR
+
+    ocr = OCR(args.model)
+    cfg = ocr.cfg
+    tmp = tempfile.mkdtemp(prefix="kiri_eval_")
+    gen = MultilingualDatasetGenerator(tmp, height=cfg.IMG_H, augment=False,
+                                      khmer_ratio=args.khmer_ratio,
+                                      seed=args.seed)
+    samples = gen.generate_samples(args.n, max_width=cfg.IMG_W)
+    texts = [unicodedata.normalize("NFC", s["text"]) for s in samples]
+    widths = np.asarray([content_width(s["image"].shape, cfg.IMG_H, cfg.IMG_W)
+                         for s in samples], np.int32)
+    imgs = np.stack([resize_keep_ratio_pad_np(s["image"], cfg.IMG_H, cfg.IMG_W)
+                     for s in samples])
+    scripts = [script_of(t) for t in texts]
+
+    report = {}
+    for method in args.methods.split(","):
+        method = method.strip()
+        outs = []
+        B = 64
+        for i in range(0, len(imgs), B):
+            outs.extend(ocr.engine.recognize_batch(
+                imgs[i: i + B], ocr._normalize_decode_method(method),
+                widths=widths[i: i + B]))
+        per = {}
+        for grp in ("english", "khmer", "mixed", "all"):
+            idx = [i for i, s in enumerate(scripts)
+                   if grp in ("all", s)]
+            if not idx:
+                continue
+            cers = [lev(texts[i], unicodedata.normalize("NFC", outs[i][0]))
+                    / max(1, len(texts[i])) for i in idx]
+            exact = [unicodedata.normalize("NFC", outs[i][0]) == texts[i]
+                     for i in idx]
+            per[grp] = {"n": len(idx),
+                        "cer": round(float(np.mean(cers)), 4),
+                        "exact": round(float(np.mean(exact)), 4)}
+        report[method] = per
+        print(method, json.dumps(per))
+
+    print(json.dumps({"model": args.model, "n": args.n,
+                      "khmer_ratio": args.khmer_ratio, "report": report}))
+
+
+if __name__ == "__main__":
+    main()
