@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--img-w", type=int, default=640)
     ap.add_argument("--enc-dim", type=int, default=256)
     ap.add_argument("--khmer-ratio", type=float, default=0.3)
+    ap.add_argument("--max-words", type=int, default=14,
+                    help="word budget per sampled line; raise toward ~20 so "
+                         "small-font renders reach document-line density "
+                         "(docsynth trims to region width, up to ~25 words)")
     args = ap.parse_args()
 
     from kiri_tpu.config import CFG
@@ -44,7 +48,8 @@ def main() -> None:
     gen = MultilingualDatasetGenerator(str(out / "_gen_cache"),
                                        height=cfg.IMG_H, augment=True,
                                        khmer_ratio=args.khmer_ratio)
-    samples = gen.generate_samples(args.samples, max_width=cfg.IMG_W)
+    samples = gen.generate_samples(args.samples, max_width=cfg.IMG_W,
+                                   max_words=args.max_words)
     n_val = max(64, len(samples) // 50)
     val = samples[:n_val]
     train = samples[n_val:]
