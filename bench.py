@@ -94,20 +94,36 @@ def main() -> None:
         resize_keep_ratio_pad_np(s["image"], cfg.IMG_H, cfg.IMG_W)
         for s in samples])
 
-    def run(method: str, n: int):
-        """(lines_per_sec, avg_cer) over the first n lines, width-bucketed."""
-        engine.recognize_batch(imgs[:BATCH], method, widths=widths[:BATCH])
-        t0 = time.perf_counter()
-        outs = []
-        for i in range(0, n, BATCH):
-            outs.extend(engine.recognize_batch(
-                imgs[i: i + BATCH], method, widths=widths[i: i + BATCH]))
+    def run(method: str, n: int, bucketed: bool = True):
+        """(lines_per_sec, avg_cer) over the first n lines.
+
+        Warmup is a full untimed pass so every (batch-bucket, width-bucket,
+        step-bucket) program the timed pass hits is compiled up front — a
+        single leading call misses combos that only appear in later chunks.
+        ``bucketed=False`` runs everything at full width: one compiled
+        program, used for beam where each while_loop variant is a costly
+        tunnel compile."""
+        if bucketed:
+            # Whole workload in ONE engine call: the engine groups rows by
+            # width bucket internally, so 512 lines cost one dispatch per
+            # bucket (~4) instead of one per 128-chunk x bucket (~16) — on
+            # a dispatch-latency-bound link that is the throughput story.
+            engine.recognize_batch(imgs[:n], method, widths=widths[:n])
+            t0 = time.perf_counter()
+            outs = engine.recognize_batch(imgs[:n], method, widths=widths[:n])
+        else:
+            for i in range(0, n, BATCH):
+                engine.recognize_batch(imgs[i: i + BATCH], method)
+            t0 = time.perf_counter()
+            outs = []
+            for i in range(0, n, BATCH):
+                outs.extend(engine.recognize_batch(imgs[i: i + BATCH], method))
         dt = time.perf_counter() - t0
         return len(outs) / dt, _avg_cer(texts[:len(outs)], outs)
 
     jax.block_until_ready(jax.numpy.zeros(()))
     lines_per_sec, avg_cer = run("ctc", N_LINES)
-    beam_lps, beam_cer = run("beam", N_LINES_BEAM)
+    beam_lps, beam_cer = run("beam", N_LINES_BEAM, bucketed=False)
 
     # p50 single-line latency (the interactive metric), bucketed batch-1.
     engine.recognize_batch(imgs[:1], "ctc", widths=widths[:1])

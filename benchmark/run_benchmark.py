@@ -109,10 +109,14 @@ def main() -> None:
         batch = np.stack(imgs)
         widths = np.asarray(widths, np.int32)
 
-        # Warmup (compile) then timed batched recognition through the same
-        # width-bucketed dispatch the document pipeline uses.
-        ocr.engine.recognize_batch(batch[: args.batch], ocr.decode_method,
-                                   widths=widths[: args.batch])
+        # Warmup: one full untimed pass so every (batch-bucket, width-bucket,
+        # step-bucket) program this font row hits is compiled before timing —
+        # a single leading call misses bucket combos that only appear in
+        # later chunks and the stray compiles land inside the timed region.
+        for i in range(0, len(batch), args.batch):
+            ocr.engine.recognize_batch(batch[i: i + args.batch],
+                                       ocr.decode_method,
+                                       widths=widths[i: i + args.batch])
         t0 = time.perf_counter()
         outs = []
         for i in range(0, len(batch), args.batch):
@@ -182,7 +186,7 @@ def main() -> None:
                  f"{avg['accuracy'] * 100:6.1f}% {avg['lines_per_sec']:9.1f}")
     (out / "results.txt").write_text("\n".join(lines))
     print("\n".join(lines[-1:]))
-    print(f"✓ Results -> {out}/results.json")
+    print(f"✓ Results -> {out}/results_{args.decode}.json")
 
 
 if __name__ == "__main__":

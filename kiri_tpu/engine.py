@@ -173,13 +173,21 @@ class RecognizerEngine:
             groups.setdefault(
                 pick_width_bucket(self.cfg, int(widths[i])), []).append(i)
         out: List[Optional[Tuple[str, float]]] = [None] * n
-        # Enqueue every bucket's encode before finishing any: dispatch is
-        # async, so bucket k+1's device compute overlaps the host-side CTC
-        # decode / beam launch for bucket k instead of serializing on it.
+        # Enqueue every chunk's encode before finishing any: dispatch is
+        # async, so chunk k+1's upload + device compute overlap the
+        # host-side CTC decode / beam launch for chunk k instead of
+        # serializing on it. Groups larger than the biggest batch bucket
+        # are split into max-bucket chunks rather than padded up to a new
+        # program shape — the compiled-program set stays bounded at
+        # len(BATCH_BUCKETS) x len(WIDTH_BUCKETS) and oversize groups
+        # reuse the already-hot max-bucket executable.
+        max_b = int(self.cfg.BATCH_BUCKETS[-1])
         pending = []
         for bw, idxs in sorted(groups.items()):
-            sub = np.ascontiguousarray(imgs_u8[np.asarray(idxs), :, :bw])
-            pending.append((idxs, self.encode_batch(sub)))
+            for s in range(0, len(idxs), max_b):
+                chunk = idxs[s: s + max_b]
+                sub = np.ascontiguousarray(imgs_u8[np.asarray(chunk), :, :bw])
+                pending.append((chunk, self.encode_batch(sub)))
         for idxs, (memp, ctc, ids, conf, est, m) in pending:
             for i, res in zip(idxs, self._finish(memp, ctc, ids, conf, est,
                                                  m, method)):
@@ -189,9 +197,11 @@ class RecognizerEngine:
     def _finish(self, memp, ctc, ids, conf, est, n: int, method: str
                 ) -> List[Tuple[str, float]]:
         if method == "ctc":
-            texts = self.tok.decode_ctc_batch(np.asarray(ids)[:n])
-            confs = np.asarray(conf)[:n]
-            return list(zip(texts, confs.astype(float)))
+            # One transfer call for both arrays (two np.asarray calls pay
+            # two serial round-trips on a remote backend).
+            ids_np, conf_np = jax.device_get((ids, conf))
+            texts = self.tok.decode_ctc_batch(ids_np[:n])
+            return list(zip(texts, conf_np[:n].astype(float)))
 
         k = 1 if method == "decoder" else self.cfg.BEAM
         l_cap = self._step_cap(est, n, memp.shape[1])
