@@ -129,6 +129,9 @@ class CRAFTDetector:
                  mag_ratio: float = 1.5, variables: Optional[Dict] = None):
         import jax
 
+        from ...utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.text_threshold = text_threshold
         self.link_threshold = link_threshold
         self.low_text = low_text

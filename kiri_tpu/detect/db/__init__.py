@@ -91,6 +91,9 @@ class DBDetector:
 
         import jax
 
+        from ...utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         if variables is not None:
             self.variables = variables
         elif model_path and Path(model_path).exists():

@@ -34,6 +34,9 @@ class RecognizerEngine:
         degrade to replication) and input batches are sharded over the data
         axis — each chip encodes its slice, XLA inserts any TP collectives.
         The reference has no distributed inference (SURVEY §2.5)."""
+        from .utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.mesh = mesh
         if mesh is not None:
             from .parallel import shard_variables

@@ -279,6 +279,9 @@ class Trainer:
     def __init__(self, cfg: CFG, tok: CharTokenizer, tc: TrainConfig,
                  variables: Optional[Dict[str, Any]] = None,
                  total_steps: int = 10000, use_mesh: bool = True):
+        from ..utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.cfg = cfg
         self.tok = tok
         self.tc = tc
