@@ -125,6 +125,25 @@ def main() -> None:
     lines_per_sec, avg_cer = run("ctc", N_LINES)
     beam_lps, beam_cer = run("beam", N_LINES_BEAM, bucketed=False)
 
+    # Device-resident fast-path throughput: inputs pre-placed on the chip,
+    # so the number isolates what the TPU itself sustains (encode + CTC +
+    # host text decode) from the host->device link. Over this tunnel the
+    # link runs ~27 MB/s and dominates `lines_per_sec`; on a co-located
+    # host (PCIe) the device-resident figure is the realistic one.
+    dev_imgs = jax.device_put(imgs[:BATCH])
+
+    def _recognize_device_resident():
+        _, memp, ctc, ids, conf, est = engine._encode_jit(
+            engine.variables, dev_imgs)
+        return engine._finish(memp, ctc, ids, conf, est, BATCH, "ctc")
+
+    _recognize_device_resident()
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        _recognize_device_resident()
+    dev_lps = BATCH * reps / (time.perf_counter() - t0)
+
     # p50 single-line latency (the interactive metric), bucketed batch-1.
     engine.recognize_batch(imgs[:1], "ctc", widths=widths[:1])
     lat = []
@@ -143,6 +162,7 @@ def main() -> None:
         "avg_cer": round(avg_cer, 4),
         "beam_lines_per_sec": round(beam_lps, 2),
         "beam_avg_cer": round(beam_cer, 4),
+        "device_resident_lines_per_sec": round(dev_lps, 2),
         "trained_checkpoint": ckpt.exists(),
         "n_lines": N_LINES,
         "batch": BATCH,
