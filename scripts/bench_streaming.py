@@ -52,8 +52,11 @@ def main() -> None:
         n_gt_lines += len(doc["lines"])
 
     ocr = OCR(args.model, det_method="db", decode_method=args.decode)
-    # Warmup: compile every program the stream will hit.
-    list(ocr.extract_text_stream_chars(paths[0]))
+    # Warmup: one full untimed pass over every document so each program the
+    # stream hits (batch buckets vary with per-doc line counts) is compiled
+    # before timing.
+    for p in paths:
+        list(ocr.extract_text_stream_chars(p))
 
     chars = lines = 0
     t0 = time.perf_counter()
