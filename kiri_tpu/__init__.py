@@ -19,6 +19,7 @@ _LAZY = {
     "DocumentRenderer": ("kiri_tpu.renderer", "DocumentRenderer"),
     "TextBox": ("kiri_tpu.detect.base", "TextBox"),
     "DetectionLevel": ("kiri_tpu.detect.base", "DetectionLevel"),
+    "KiriOCR": ("kiri_tpu.models.recognizer", "KiriOCR"),
 }
 
 

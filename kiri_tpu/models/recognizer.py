@@ -296,3 +296,52 @@ def decoder_step(variables: Dict[str, Any], tok_ids: jnp.ndarray, pos,
 
 def num_params(variables: Dict[str, Any]) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+
+class KiriOCR:
+    """Object-style facade over the functional recognizer, for users of the
+    reference's model class (kiri_ocr/model.py:235-307: ``KiriOCR(cfg, tok)``
+    with ``.encode(images)``). The TPU-native compute lives in the pure
+    functions above; this wrapper just carries (variables, cfg, tok) and
+    jit-compiles the encoder on first use.
+    """
+
+    def __init__(self, cfg, tok, use_dec_pos_enc: bool = True,
+                 variables: Optional[Dict[str, Any]] = None, seed: int = 0):
+        self.cfg = cfg
+        self.tok = tok
+        self.use_dec_pos_enc = use_dec_pos_enc
+        self.variables = variables if variables is not None else init_recognizer(
+            jax.random.PRNGKey(seed), cfg, tok, use_dec_pos_enc)
+        self._encode_jit = None
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg=None, vocab_path: Optional[str] = None):
+        """Load weights (torch-named safetensors / legacy .pt) + config."""
+        from ..tokenizer import CharTokenizer
+        from ..train.checkpoints import find_vocab_file, load_checkpoint
+
+        variables, cfg, meta = load_checkpoint(path, cfg)
+        vp = vocab_path or find_vocab_file(meta.get("vocab_path", ""), path)
+        if not vp:
+            raise FileNotFoundError(f"No vocab file found near {path}")
+        tok = CharTokenizer(vp, cfg)
+        return cls(cfg, tok, variables=variables)
+
+    def encode(self, images_u8) -> jnp.ndarray:
+        """uint8 [B, H, W] -> encoder memory [B, T, D]."""
+        if self._encode_jit is None:
+            from functools import partial
+
+            self._encode_jit = jax.jit(partial(
+                lambda v, x, cfg: encode(v, x, cfg, train=False)[0], cfg=self.cfg))
+        return self._encode_jit(self.variables, images_u8)
+
+    def ctc_logits(self, mem: jnp.ndarray) -> jnp.ndarray:
+        return ctc_logits(self.variables["params"], mem, self.cfg)
+
+    def mem_project(self, mem: jnp.ndarray) -> jnp.ndarray:
+        return mem_project(self.variables["params"], mem)
+
+    def num_params(self) -> int:
+        return num_params(self.variables)

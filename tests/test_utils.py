@@ -56,3 +56,29 @@ def test_pad_batch_to_devices():
     batch8 = {"x": np.ones((8, 3), np.float32)}
     padded8, n8 = pad_batch_to_devices(batch8, mesh)
     assert padded8["x"].shape[0] == 8 and n8 == 8
+
+
+def test_kiriocr_facade_roundtrip():
+    """KiriOCR export parity (reference kiri_ocr/__init__.py exports KiriOCR;
+    model class at model.py:235-307)."""
+    import numpy as np
+
+    from kiri_tpu import KiriOCR
+    from kiri_tpu.config import CFG
+    from kiri_tpu.tokenizer import CharTokenizer, build_full_vocab
+
+    import tempfile
+    from pathlib import Path
+
+    tmp = tempfile.mkdtemp()
+    vp = str(Path(tmp) / "vocab.json")
+    build_full_vocab(vp, include_khmer=False)
+    cfg = CFG(ENC_DIM=64, ENC_LAYERS=1, ENC_HEADS=4, ENC_FF=128,
+              DEC_DIM=64, DEC_LAYERS=1, DEC_HEADS=4, DEC_FF=128,
+              COMPUTE_DTYPE="float32")
+    m = KiriOCR(cfg, CharTokenizer(vp, cfg))
+    mem = m.encode(np.zeros((2, 48, 160), np.uint8))
+    assert mem.shape == (2, 40, 64)
+    assert m.ctc_logits(mem).shape[0] == 2
+    assert m.mem_project(mem).shape == (2, 40, 64)
+    assert m.num_params() > 0
