@@ -191,6 +191,19 @@ class RecognizerEngine:
                 chunk = idxs[s: s + max_b]
                 sub = np.ascontiguousarray(imgs_u8[np.asarray(chunk), :, :bw])
                 pending.append((chunk, self.encode_batch(sub)))
+        if method == "ctc":
+            # ONE transfer for every chunk's results: each synchronous
+            # fetch costs a full ~40ms round-trip on a tunneled backend,
+            # so N chunks fetched separately would serialize N round-trips
+            # even though their compute overlapped.
+            fetched = jax.device_get(
+                [(ids, conf) for _, (_, _, ids, conf, _, _) in pending])
+            for (idxs, (_, _, _, _, _, m)), (ids_np, conf_np) in zip(
+                    pending, fetched):
+                texts = self.tok.decode_ctc_batch(ids_np[:m])
+                for i, t, c in zip(idxs, texts, conf_np[:m]):
+                    out[i] = (t, float(c))
+            return out  # type: ignore[return-value]
         for idxs, (memp, ctc, ids, conf, est, m) in pending:
             for i, res in zip(idxs, self._finish(memp, ctc, ids, conf, est,
                                                  m, method)):
