@@ -145,7 +145,18 @@ class CRAFTDetector:
             self.variables = load_craft_checkpoint(model_path)
         else:
             raise FileNotFoundError(f"CRAFT model not found at {model_path}")
-        self._fwd = jax.jit(partial(craft_forward, train=False))
+        # uint8 in, sigmoid'd float16 maps out: one upload + one download
+        # per document at minimal wire bytes (see DBDetector._fwd note).
+        import jax.numpy as jnp
+
+        def _fwd_u8(variables, canvas_u8):
+            x = (canvas_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            region, affinity, _ = craft_forward(variables, x[None, ..., None],
+                                                train=False)
+            return (jax.nn.sigmoid(region[0]).astype(jnp.float16),
+                    jax.nn.sigmoid(affinity[0]).astype(jnp.float16))
+
+        self._fwd = jax.jit(_fwd_u8)
 
     def _load_gray(self, image) -> np.ndarray:
         if isinstance(image, (str, Path)):
@@ -172,13 +183,10 @@ class CRAFTDetector:
 
         canvas, ratio = resize_aspect_ratio(gray, self.canvas_size,
                                             self.mag_ratio)
-        x = canvas.astype(np.float32) / 255.0
-        x = (x - 0.5) / 0.5
-        region, affinity, _ = self._fwd(self.variables,
-                                        jnp.asarray(x)[None, ..., None])
-        region = np.asarray(jax.nn.sigmoid(region[0]))
-        affinity = np.asarray(jax.nn.sigmoid(affinity[0]))
-        return region, affinity, ratio
+        region, affinity = jax.device_get(
+            self._fwd(self.variables, jnp.asarray(canvas)))
+        return (np.asarray(region, np.float32),
+                np.asarray(affinity, np.float32), ratio)
 
     def detect_text(self, image, poly: bool = False
                     ) -> List[Tuple[np.ndarray, float]]:

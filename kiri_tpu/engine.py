@@ -252,11 +252,11 @@ class RecognizerEngine:
         memp, ctc, ids, conf, est, n = self.encode_batch(imgs_u8)
 
         if method == "ctc":
-            ids_np = np.asarray(ids)
-            # One device softmax + download for the whole page (per-row
-            # round-trips dominate streaming latency otherwise).
-            max_probs = np.asarray(
-                jnp.max(jax.nn.softmax(ctc, axis=-1), axis=-1))
+            # One device softmax + ONE download for the whole page (each
+            # synchronous fetch costs a full round-trip; per-row fetches
+            # would dominate streaming latency).
+            max_probs_dev = jnp.max(jax.nn.softmax(ctc, axis=-1), axis=-1)
+            ids_np, max_probs = jax.device_get((ids, max_probs_dev))
             return [list(self._stream_ctc_row(ids_np[i], max_probs[i]))
                     for i in range(n)]
 

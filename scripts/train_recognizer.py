@@ -18,6 +18,43 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+def doc_crop_samples(n: int, khmer_ratio: float, seed: int = 7000):
+    """Training lines cropped out of synthetic DOCUMENTS, with padding
+    jitter approximating the DB detector's smart padding + the pipeline's
+    +5px crop margin. Closes the distribution gap between cleanly-rendered
+    synth lines and what the recognizer actually sees behind the detector
+    (neighbor-line bleed at crop edges, document noise, region trims)."""
+    import random
+
+    import numpy as np
+
+    from kiri_tpu.data.docsynth import DocumentGenerator
+
+    r = random.Random(seed)
+    out = []
+    doc_seed = seed
+    while len(out) < n:
+        gen = DocumentGenerator(640, 640, seed=doc_seed,
+                                khmer_ratio=khmer_ratio)
+        doc = gen.generate()
+        img = doc["image"]
+        for (x, y, w, h), text in zip(doc["lines"], doc["texts"]):
+            if not text.strip() or w < 4 or h < 4:
+                continue
+            px, py = r.randint(2, 12), r.randint(2, 10)
+            x0, y0 = max(0, x - px), max(0, y - py)
+            x1 = min(img.shape[1], x + w + px)
+            y1 = min(img.shape[0], y + h + py)
+            crop = img[y0:y1, x0:x1]
+            if crop.size == 0:
+                continue
+            out.append({"image": np.ascontiguousarray(crop), "text": text})
+            if len(out) >= n:
+                break
+        doc_seed += 1
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=20000)
@@ -32,6 +69,9 @@ def main() -> None:
                     help="word budget per sampled line; raise toward ~20 so "
                          "small-font renders reach document-line density "
                          "(docsynth trims to region width, up to ~25 words)")
+    ap.add_argument("--doc-crop-ratio", type=float, default=0.0,
+                    help="fraction of samples drawn as detector-style crops "
+                         "out of synthetic documents")
     args = ap.parse_args()
 
     from kiri_tpu.config import CFG
@@ -48,8 +88,17 @@ def main() -> None:
     gen = MultilingualDatasetGenerator(str(out / "_gen_cache"),
                                        height=cfg.IMG_H, augment=True,
                                        khmer_ratio=args.khmer_ratio)
-    samples = gen.generate_samples(args.samples, max_width=cfg.IMG_W,
+    n_doc = int(args.samples * args.doc_crop_ratio)
+    samples = gen.generate_samples(args.samples - n_doc, max_width=cfg.IMG_W,
                                    max_words=args.max_words)
+    if n_doc:
+        print(f"  + {n_doc} detector-style document crops")
+        doc = doc_crop_samples(n_doc, args.khmer_ratio)
+        # Interleave so train/val splits and batches see both sources.
+        import random as _random
+
+        samples = samples + doc
+        _random.Random(13).shuffle(samples)
     n_val = max(64, len(samples) // 50)
     val = samples[:n_val]
     train = samples[n_val:]
