@@ -93,8 +93,12 @@ class RecognizerEngine:
         return memp, ctc, ids, conf, est, n
 
     def _decode_texts(self, out: D.DecodeOut, n: int) -> Tuple[List[str], np.ndarray, np.ndarray]:
-        tokens = np.asarray(out.tokens)[:n]
-        lengths = np.asarray(out.lengths)[:n]
+        # One transfer for all four result fields (separate np.asarray calls
+        # each pay a full round-trip on a remote backend).
+        tokens, lengths, final_conf, dec_conf = jax.device_get(
+            (out.tokens, out.lengths, out.final_conf, out.dec_conf))
+        tokens = tokens[:n]
+        lengths = lengths[:n]
         # Text = tokens[1:length], stop at eos (reference: model.py:584-590).
         texts = []
         for i in range(n):
@@ -103,7 +107,7 @@ class RecognizerEngine:
             if eos_pos.size:
                 ids = ids[: eos_pos[0]]
             texts.append(self.tok.decode_dec(ids))
-        return texts, np.asarray(out.final_conf)[:n], np.asarray(out.dec_conf)[:n]
+        return texts, final_conf[:n], dec_conf[:n]
 
     def _step_cap(self, est_len: np.ndarray, n: int, mem_len: int) -> int:
         tl = np.asarray(est_len)[:n]
