@@ -21,10 +21,17 @@ def enable_persistent_cache() -> bool:
     global _enabled
     if _enabled:
         return True
-    if os.environ.get("KIRI_TPU_CACHE", "1") == "0":
+    flag = os.environ.get("KIRI_TPU_CACHE", "1")
+    if flag == "0":
         return False
     try:
         import jax
+
+        # Default-on only for accelerator backends: replayed CPU AOT blobs
+        # carry compile-machine feature flags that may not match this host
+        # (XLA warns about possible SIGILL). KIRI_TPU_CACHE=force overrides.
+        if flag != "force" and jax.default_backend() == "cpu":
+            return False
 
         cache_dir = os.environ.get(
             "KIRI_TPU_CACHE_DIR",
