@@ -257,7 +257,11 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
             jnp.where(was_fin, parent_tokens[rowsN, rowsK, jnp.minimum(write_pos, l_buf - 1)],
                       new_tok_ids))
 
-        # Reorder KV cache rows to follow their parents.
+        # Reorder KV cache rows to follow their parents. (Measured note:
+        # gating the gather to only-written length segments via lax.cond
+        # is bit-identical but SLOWER on TPU — the per-segment concatenate
+        # rebuilds the full buffer anyway; the plain whole-buffer gather
+        # wins.)
         flat_parent = (rowsN * K + parent).reshape(-1)
         cache = {k: v[:, flat_parent] for k, v in cache.items()}
 
