@@ -184,7 +184,11 @@ def main() -> None:
                      f"{v['accuracy'] * 100:6.1f}% {v['lines_per_sec']:9.1f}")
     lines.append(f"{'AVERAGE':40s} {avg['cer']:8.4f} "
                  f"{avg['accuracy'] * 100:6.1f}% {avg['lines_per_sec']:9.1f}")
-    (out / "results.txt").write_text("\n".join(lines))
+    # Per-decode txt so e.g. a beam run can't leave results.txt inconsistent
+    # with a stale results.json; the unsuffixed pair tracks the fast run only.
+    (out / f"results_{args.decode}.txt").write_text("\n".join(lines))
+    if args.decode == "fast":
+        (out / "results.txt").write_text("\n".join(lines))
     print("\n".join(lines[-1:]))
     print(f"✓ Results -> {out}/results_{args.decode}.json")
 

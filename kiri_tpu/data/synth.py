@@ -349,6 +349,7 @@ class DatasetGenerator:
         for i in range(num_samples):
             img = None
             text = ""
+            best: Optional[Dict[str, object]] = None  # narrowest over-wide try
             budget = max_words
             for _ in range(6):
                 text = (texts[i % len(texts)] if texts
@@ -359,10 +360,17 @@ class DatasetGenerator:
                 if (texts is not None or max_width is None
                         or img.shape[1] <= max_width):
                     break
+                if best is None or img.shape[1] < best["image"].shape[1]:
+                    best = {"image": img, "text": text}
                 budget = max(min_words, budget * 2 // 3)
                 img = None
             if img is not None:
                 out.append({"image": img, "text": text})
+            elif best is not None:
+                # All attempts rendered wider than max_width: keep the
+                # narrowest rather than silently shorting the caller — it is
+                # aspect-resized downstream anyway.
+                out.append(best)
         return out
 
 

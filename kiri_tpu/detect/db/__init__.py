@@ -101,10 +101,10 @@ class DBDetector:
         else:
             raise FileNotFoundError(f"DB model not found at {model_path}")
 
-        # uint8 in, float16 prob out: the page upload and the map download
-        # each cross the host<->device link once per document, so shipping
-        # u8 (4x fewer bytes) and f16 (2x) halves the wire cost; normalize
-        # runs fused on device.
+        # uint8 in: the page upload crosses the host<->device link once per
+        # document, so shipping u8 (4x fewer bytes than f32) cuts the upload
+        # cost; normalize runs fused on device. The prob-map download stays
+        # f32 (see below) — the f16 download saving applies to CRAFT only.
         import jax.numpy as jnp
 
         def _fwd_u8(variables, canvas_u8):

@@ -278,6 +278,32 @@ class OCR:
             print(f"🔍 Detected {len(boxes)} regions")
 
         img_gray = self._load_gray(image_path)
+        recognized, kept = self._recognize_regions(img_gray, boxes, timer)
+
+        results = []
+        for row, bi in enumerate(kept):
+            text, confidence = recognized[row]
+            results.append({
+                "box": [int(v) for v in boxes[bi]],
+                "text": text,
+                "confidence": float(confidence),
+                "det_confidence": float(det_confs[bi]),
+                "line_number": bi + 1,
+            })
+            if verbose:
+                print(f"  {bi + 1:2d}. {text[:50]:50s} ({confidence * 100:.1f}%)")
+        if verbose:
+            print("⏱ Stage timing:")
+            print(timer.report())
+        return results
+
+    def _recognize_regions(self, img_gray, boxes, timer=None):
+        """Crop + preprocess + recognize all regions, honoring the
+        constructor's ``preprocess`` option on every document entry point.
+        Returns (recognized [(text, conf)], kept [original box indices])."""
+        from .utils.profiling import StageTimer
+
+        timer = timer or StageTimer()
         if self.preprocess == "device":
             # Pallas path: ship raw crops; invert+resize+pad+normalize run
             # fused on-chip (kernels/resize.py).
@@ -299,23 +325,7 @@ class OCR:
             with timer.stage("recognize"):
                 recognized = self.engine.recognize_batch(
                     batch, self.decode_method, widths=widths)
-
-        results = []
-        for row, bi in enumerate(kept):
-            text, confidence = recognized[row]
-            results.append({
-                "box": [int(v) for v in boxes[bi]],
-                "text": text,
-                "confidence": float(confidence),
-                "det_confidence": float(det_confs[bi]),
-                "line_number": bi + 1,
-            })
-            if verbose:
-                print(f"  {bi + 1:2d}. {text[:50]:50s} ({confidence * 100:.1f}%)")
-        if verbose:
-            print("⏱ Stage timing:")
-            print(timer.report())
-        return results
+        return recognized, kept
 
     def process_document_streaming(self, image_path, mode: str = "lines",
                                    verbose: bool = False
@@ -331,10 +341,7 @@ class OCR:
             print(f"🔍 Detected {total_regions} regions")
 
         img_gray = self._load_gray(image_path)
-        batch, kept, widths = preprocess_regions(self.cfg, img_gray, boxes,
-                                                 extra_padding=5)
-        recognized = self.engine.recognize_batch(batch, self.decode_method,
-                                                 widths=widths)
+        recognized, kept = self._recognize_regions(img_gray, boxes)
         by_index = {bi: rec for bi, rec in zip(kept, recognized)}
 
         for i, (box, det_conf) in enumerate(zip(boxes, det_confs), 1):
@@ -365,6 +372,11 @@ class OCR:
         with per-step history recorded on device, then chunks replay in
         reading order — identical schema and content at batched throughput.
         batched=False preserves the reference's region-at-a-time compute.
+
+        Note: char streaming always preprocesses on host — the per-step
+        history decode needs the width metadata host preprocessing produces;
+        the constructor's ``preprocess='device'`` option applies to
+        process_document / process_document_streaming / extract_text.
         """
         if verbose:
             print(f"\n📄 Processing (char streaming): {image_path}")

@@ -400,7 +400,12 @@ def train_loop(cfg: CFG, tok: CharTokenizer, tc: TrainConfig,
                from_model: Optional[str] = None,
                verbose: bool = True) -> Trainer:
     """train_samples / val_samples: sequences of {image u8 [H,W], text}."""
-    steps_per_epoch = max(1, len(train_samples) // tc.batch_size)
+    # The OneCycle horizon must match the real step count: width_bucket_plan
+    # emits sum(ceil(group/B)) batches per epoch (remainders are resampled,
+    # not dropped), which exceeds len(samples)//B by up to one batch per
+    # width group. Build a throwaway plan to count batches exactly.
+    steps_per_epoch = max(1, len(width_bucket_plan(
+        np.random.default_rng(tc.seed), train_samples, cfg, tc.batch_size)))
     total_steps = steps_per_epoch * tc.epochs
     trainer = Trainer(cfg, tok, tc, total_steps=total_steps)
 
