@@ -320,10 +320,11 @@ class RecognizerEngine:
                                             self.tok.dec_eos):
                 raw = tid - self.tok.dec_offset
                 if 0 <= raw < self.tok.vocab_size:
-                    c = self.tok.id_to_token.get(raw, "")
-                    if c != self.tok.unk_token:
-                        char = c
-                        text += c
+                    # Reference quirk (model.py:925-930): an <unk> step
+                    # yields token='<unk>' but does NOT grow the text.
+                    char = self.tok.id_to_token.get(raw, "")
+                    if char != self.tok.unk_token:
+                        text += char
             yield {"token": char, "token_id": tid, "text": text,
                    "confidence": prob, "step": s + 1, "finished": finished}
             if finished:

@@ -1,0 +1,505 @@
+"""Adversarial decode-parity corpus against the reference implementation.
+
+Two evidence classes the basic parity tests (test_reference_parity.py) lack:
+
+1. **Crafted penalty-branch triggers** — a model surgically rigged to emit
+   constant, history-independent logits (dec_head.weight = 0, crafted bias)
+   so decode trajectories are driven ENTIRELY by the penalty stack
+   (reference: kiri_ocr/model.py:487-534, 869-946, 1060-1099). Each branch
+   (AAA, AB-AB + the A-B-A-B double-penalize quirk, ABC-ABC, EOS bias/boost,
+   <unk>) is asserted to actually fire on the generated sequences, and the
+   chunk streams must match the reference generators chunk-for-chunk.
+
+2. **Trained-flagship corpus** — the committed bilingual checkpoint loaded
+   into BOTH frameworks (ours natively; the reference via its own
+   state_dict format), decoding 64 mixed-script synthetic lines in all three
+   modes, plus chunk-for-chunk streaming comparison on a subset
+   (reference: kiri_ocr/model.py:689-775, 779-946, 949-1153).
+
+Skipped when torch / the reference repo / the trained checkpoint is absent.
+"""
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+REPO = Path(__file__).resolve().parents[1]
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not Path(REFERENCE).exists(), reason="reference repo not mounted")
+
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+import jax
+import jax.numpy as jnp
+
+from kiri_tpu.config import CFG
+from kiri_tpu.engine import RecognizerEngine
+from kiri_tpu.models import recognizer as R
+from kiri_tpu.models.recognizer import ModelMeta
+from kiri_tpu.ops import decode as D
+from kiri_tpu.ops.ctc import greedy_ctc_stats
+from kiri_tpu.tokenizer import CharTokenizer
+from kiri_tpu.utils.convert import from_torch_state_dict
+
+
+# ===========================================================================
+# 1. Crafted constant-logit models: penalties drive ALL behavior
+# ===========================================================================
+PENALTY_CFG = dict(
+    ENC_DIM=32, ENC_LAYERS=1, ENC_FF=64, ENC_HEADS=2,
+    DEC_DIM=32, DEC_LAYERS=1, DEC_FF=64, DEC_HEADS=2,
+    IMG_H=48, IMG_W=160, USE_LM=False, BEAM=3,
+    REPEAT_LAST_PENALTY=1.37, REPEAT_BIGRAM_PENALTY=0.83,
+    REPEAT_TRIGRAM_PENALTY=0.61, UNK_LOGP_PENALTY=3.0,
+    EOS_LOGP_BIAS=1.5, EOS_LOGP_BOOST=4.0,
+    # Bound decode length: max_steps = 12*0.5 + 4 = 10 without a CTC
+    # estimate, int(tl*1.3) + 4 with one.
+    MEM_MAX_LEN_RATIO=0.5, DEC_MAX_LEN_PAD=4,
+)
+T_MEM = 12
+
+
+def _table_pair(tmp_path, rows, cfg_extra=None):
+    """Reference model + our variables rigged so the decode logits at every
+    step are a pure TRANSITION TABLE on the previous token — exact in f32 on
+    both frameworks.
+
+    Rig (legacy no-pos-enc mode, use_dec_pos_enc=False):
+    * dec_emb.weight = one-hot rows -> pre-LN activation is e_{prev_token}
+    * every decoder-layer output projection zeroed -> residual untouched
+    * final dec_ln of a one-hot is a well-conditioned fixed basis B
+    * dec_head.weight solved exactly from B @ W.T = table (14 rows, D=32)
+
+    Decode trajectories become fully scripted by ``rows`` and the penalty
+    stack (reference kiri_ocr/model.py:487-534) is the ONLY source of
+    behavioral change — each branch can be triggered deterministically, and
+    mis-implementations (e.g. dropping the A-B-A-B double-penalize quirk)
+    produce different TEXT.
+
+    rows: {prev_name: {next_name: logit}} with names = chars / 'eos' /
+    'unk' / 'bos'; unspecified prev tokens terminate ({'eos': 0}); default
+    logit is -12 - 0.01*id (tilted: no exact ties for topk to break
+    differently across frameworks).
+    """
+    from kiri_ocr.model import CFG as RefCFG
+    from kiri_ocr.model import CharTokenizer as RefTok
+    from kiri_ocr.model import KiriOCR as RefModel
+
+    vocab = {"<unk>": 0}
+    for i, ch in enumerate("abcdefghij"):
+        vocab[ch] = i + 1
+    vp = tmp_path / "vocab.json"
+    vp.write_text(json.dumps(vocab))
+
+    kw = dict(PENALTY_CFG, **(cfg_extra or {}))
+    ref_cfg = RefCFG(**kw)
+    ref_tok = RefTok(str(vp), ref_cfg)
+    torch.manual_seed(0)
+    ref_model = RefModel(ref_cfg, ref_tok, use_dec_pos_enc=False).eval()
+
+    cfg = CFG(COMPUTE_DTYPE="float32", **kw)
+    tok = CharTokenizer(str(vp), cfg)
+    V, D = tok.dec_vocab, kw["DEC_DIM"]
+    assert V <= D
+
+    def tid(name):
+        if name == "eos":
+            return tok.dec_eos
+        if name == "bos":
+            return tok.dec_bos
+        if name == "unk":
+            return tok.unk_id + tok.dec_offset
+        return tok.token_to_id[name] + tok.dec_offset
+
+    table = np.tile(-12.0 - 0.01 * np.arange(V), (V, 1))
+    for t in range(V):
+        table[t, tok.dec_eos] = 0.0  # default: terminate
+    for prev, nxt in rows.items():
+        r = -12.0 - 0.01 * np.arange(V)
+        for name, val in nxt.items():
+            r[tid(name)] = val
+        table[tid(prev)] = r
+
+    emb = np.zeros((V, D))
+    emb[:, :V] = np.eye(V)
+    # dec_ln of a one-hot row (LayerNorm is scale-invariant; eps=1e-5).
+    b_rows = (emb - emb.mean(1, keepdims=True)) / np.sqrt(
+        emb.var(1, keepdims=True) + 1e-5)
+    W_t, *_ = np.linalg.lstsq(b_rows, table, rcond=None)  # [D, V]
+    assert np.abs(b_rows @ W_t - table).max() < 1e-9
+    assert np.abs(W_t).max() < 1e3, "table fit ill-conditioned"
+
+    with torch.no_grad():
+        ref_model.dec_emb.weight.copy_(torch.tensor(emb, dtype=torch.float32))
+        for layer in ref_model.dec.layers:
+            layer.self_attn.out_proj.weight.zero_()
+            layer.self_attn.out_proj.bias.zero_()
+            layer.multihead_attn.out_proj.weight.zero_()
+            layer.multihead_attn.out_proj.bias.zero_()
+            layer.linear2.weight.zero_()
+            layer.linear2.bias.zero_()
+        ref_model.dec_head.weight.copy_(torch.tensor(W_t.T, dtype=torch.float32))
+        ref_model.dec_head.bias.zero_()
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    variables, use_pe = from_torch_state_dict(sd, cfg)
+    assert not use_pe, "legacy mode must be detected from the state dict"
+    variables["meta"] = ModelMeta(use_pe)
+    variables = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x, np.float32)), variables,
+        is_leaf=lambda x: isinstance(x, np.ndarray))
+    return ref_model, ref_tok, ref_cfg, variables, tok, cfg
+
+
+def _crafted_ctc(tok, target_chars):
+    """CTC logits whose greedy path yields exactly ``target_chars`` chars —
+    a deterministic target_len on both sides."""
+    C = tok.ctc_classes
+    ctc = np.full((1, T_MEM, C), -8.0, np.float32)
+    ctc[:, :, 0] = 0.0  # blank wins by default
+    assert 2 * target_chars < T_MEM
+    for i in range(target_chars):
+        ctc[0, 1 + 2 * i, 0] = -9.0
+        ctc[0, 1 + 2 * i, tok.ctc_offset + (i % 3)] = 2.0
+    return ctc
+
+
+def _fired_branches(seq_prefixes):
+    """Which reference penalty branches fired over the given step prefixes.
+
+    seq_prefixes: token-id lists exactly as seen by the penalty block
+    (bos-prefixed, one per executed decode step). The conditions transcribe
+    kiri_ocr/model.py:500-534.
+    """
+    fired = set()
+    for seq in seq_prefixes:
+        n = len(seq)
+        if n >= 4 and seq[-1] == seq[-2] == seq[-3]:
+            fired.add("AAA")
+        if n >= 4 and (seq[-2], seq[-1]) == (seq[-4], seq[-3]):
+            fired.add("ABAB")
+        if n >= 3 and seq[-1] == seq[-3] and n >= 4 and seq[-2] == seq[-4]:
+            fired.add("ABA_double")  # fires together with ABAB: the quirk
+        if n >= 6 and (seq[-3], seq[-2], seq[-1]) == (seq[-6], seq[-5], seq[-4]):
+            fired.add("ABCABC")
+    return fired
+
+
+def _our_stream(engine, variables, tok, cfg, memp, ctc, method):
+    """Chunk records from our compiled decoders on a raw mem_proj tensor.
+    Returns (records_per_row, DecodeOut)."""
+    n, t_mem, _ = memp.shape
+    if ctc is not None:
+        _, conf, est = greedy_ctc_stats(ctc)
+    else:
+        conf = jnp.zeros((n,))
+        est = jnp.zeros((n,), jnp.int32)
+    l_cap = D.pick_l_cap(cfg, int(np.max(np.asarray(
+        D.max_decode_steps(cfg, est, t_mem)))))
+    kw = dict(cfg=cfg, l_cap=l_cap, eos_id=tok.dec_eos,
+              unk_dec_id=tok.unk_id + tok.dec_offset, bos_id=tok.dec_bos)
+    if method == "decoder":
+        out = D.greedy_decode(variables, memp, est, **kw)
+        return [list(engine._stream_greedy(out, i)) for i in range(n)], out
+    out = D.beam_search(variables, memp, ctc, est, conf,
+                        k_beam=cfg.BEAM, record_history=True,
+                        dec_offset=tok.dec_offset, **kw)
+    return [list(engine._stream_beam(out, i)) for i in range(n)], out
+
+
+def _assert_chunks_equal(ours, refs, conf_atol=2e-3,
+                         keys=("token", "text", "step", "finished")):
+    assert len(ours) == len(refs), (len(ours), len(refs),
+                                    [c["text"] for c in ours[-3:]],
+                                    [c["text"] for c in refs[-3:]])
+    for o, r in zip(ours, refs):
+        for k in keys:
+            assert o[k] == r[k], (k, o, r)
+        if "confidence" in r:
+            assert abs(o["confidence"] - r["confidence"]) < conf_atol, (o, r)
+
+
+class TestCraftedPenaltyBranches:
+    def _run_case(self, tmp_path, rows, cfg_extra=None, target_chars=0,
+                  greedy_too=False):
+        """Script a transition table, decode with BOTH frameworks (beam, and
+        optionally greedy), and return everything for assertions."""
+        pair = _table_pair(tmp_path, rows, cfg_extra)
+        ref_model, ref_tok, ref_cfg, variables, tok, cfg = pair
+
+        memp_t = torch.zeros(1, T_MEM, ref_cfg.DEC_DIM)
+        memp_j = jnp.zeros((1, T_MEM, cfg.DEC_DIM))
+        ctc_t = ctc_j = None
+        if target_chars > 0:
+            ctc = _crafted_ctc(tok, target_chars)
+            ctc_t, ctc_j = torch.tensor(ctc), jnp.asarray(ctc)
+
+        from kiri_ocr import model as ref_mod
+
+        ref_chunks = list(ref_mod.beam_decode_streaming(
+            ref_model, memp_t, ref_tok, ref_cfg, ctc_logits_1=ctc_t))
+        ref_text, ref_conf = ref_mod.beam_decode_one_batched(
+            ref_model, memp_t, ref_tok, ref_cfg, ctc_logits_1=ctc_t)
+
+        engine = RecognizerEngine(variables, cfg, tok)
+        our_rows, out = _our_stream(engine, variables, tok, cfg,
+                                    memp_j, ctc_j, "beam")
+        r = {"ref_chunks": ref_chunks, "ref_text": ref_text,
+             "ref_conf": ref_conf, "ours": our_rows[0], "out": out,
+             "pair": pair, "engine": engine, "tok": tok}
+        if greedy_too:
+            r["ref_greedy"] = list(ref_mod.greedy_decode_streaming(
+                ref_model, memp_t, ref_tok, ref_cfg, ctc_logits_1=ctc_t))
+            r["our_greedy"] = _our_stream(engine, variables, tok, cfg,
+                                          memp_j, ctc_j, "decoder")[0][0]
+        return r
+
+    def _prefixes(self, tok, text):
+        ids = [tok.dec_bos] + [tok.token_to_id[c] + tok.dec_offset
+                               for c in text]
+        return [ids[:i] for i in range(2, len(ids) + 1)]
+
+    def test_aaa_branch_flips_beam_not_greedy(self, tmp_path):
+        """Self-loop a->a: the AAA penalty (1.37) must push 'a' (margin 1.0
+        over eos) out of the top slot after three a's for beam; greedy's
+        raw-argmax quirk keeps picking 'a'. Both streams chunk-match."""
+        r = self._run_case(
+            tmp_path,
+            {"bos": {"a": 0.0, "j": -3.0},
+             "a": {"a": 0.0, "eos": -1.0, "j": -3.0}},
+            cfg_extra=dict(EOS_LOGP_BIAS=0.0, EOS_LOGP_BOOST=0.0),
+            greedy_too=True)
+        # AAA fires at prefix aaa and pushes 'a' below eos -> "aaa" ends;
+        # without the penalty the self-loop would run the full step budget.
+        assert r["ref_text"] == "aaa", r["ref_text"]
+        assert "AAA" in _fired_branches(self._prefixes(r["tok"], "aaa"))
+        _assert_chunks_equal(r["ours"], r["ref_chunks"])
+        assert r["ours"][-1]["text"] == r["ref_text"]
+        # Greedy ignores the penalty at selection time -> a forever.
+        assert all(c["token"] == "a" for c in r["ref_greedy"])
+        _assert_chunks_equal(r["our_greedy"], r["ref_greedy"],
+                             keys=("token", "token_id", "text", "step",
+                                   "finished"))
+
+    def test_abab_double_penalize_quirk(self, tmp_path):
+        """Alternation table a<->b with contenders tuned (simulated offline
+        against the reference semantics) so that WITH the reference's
+        A-B-A-B double-penalize quirk the decode is 'ababc' and WITHOUT it
+        (single bigram penalty) it is 'abbababbab...' — the final text
+        itself distinguishes the two implementations."""
+        r = self._run_case(
+            tmp_path,
+            {"bos": {"a": 0.0, "j": -3.0},
+             "a": {"b": 0.0, "c": -5.0, "eos": -2.0},
+             "b": {"a": 0.0, "b": -0.4, "c": -1.3},
+             "c": {"eos": -0.5, "a": -2.0, "j": -6.0}},
+            cfg_extra=dict(EOS_LOGP_BIAS=0.0, EOS_LOGP_BOOST=0.0))
+        fired = _fired_branches(self._prefixes(r["tok"], "abab"))
+        assert {"ABAB", "ABA_double"} <= fired, fired
+        assert r["ref_text"] == "ababc", r["ref_text"]
+        _assert_chunks_equal(r["ours"], r["ref_chunks"])
+        assert r["ours"][-1]["text"] == r["ref_text"]
+
+    def test_abcabc_trigram_branch(self, tmp_path):
+        """Cycle a->b->c->a: at prefix abcabc the trigram branch penalizes
+        a/b/c; 'a' (margin 1.0 over 'd', penalty 1.37) flips to 'd'."""
+        r = self._run_case(
+            tmp_path,
+            {"bos": {"a": 0.0, "j": -3.0},
+             "a": {"b": 0.0, "j": -3.0},
+             "b": {"c": 0.0, "j": -3.0},
+             "c": {"a": 0.0, "d": -1.0, "j": -3.0},
+             "d": {"eos": 0.0, "a": -4.0}},
+            cfg_extra=dict(REPEAT_TRIGRAM_PENALTY=1.37,
+                           EOS_LOGP_BIAS=0.0, EOS_LOGP_BOOST=0.0))
+        assert "ABCABC" in _fired_branches(
+            self._prefixes(r["tok"], "abcabc"))
+        assert r["ref_text"] == "abcabcd", r["ref_text"]
+        _assert_chunks_equal(r["ours"], r["ref_chunks"])
+        assert r["ours"][-1]["text"] == r["ref_text"]
+
+    def test_eos_bias_and_boost(self, tmp_path):
+        """EOS on top out of bos: the early bias (cur_len < min_len) must
+        suppress it; later the boost (+5 at cur_len >= target_len=4) must
+        lift a 3.0 deficit over the a self-loop. Greedy's raw argmax ignores
+        the bias and finishes immediately — both quirks chunk-match."""
+        r = self._run_case(
+            tmp_path,
+            {"bos": {"eos": 0.0, "a": -1.0, "j": -5.0},
+             "a": {"a": 0.0, "eos": -3.0, "j": -5.0}},
+            cfg_extra=dict(EOS_LOGP_BIAS=2.5, EOS_LOGP_BOOST=5.0,
+                           REPEAT_LAST_PENALTY=0.2),
+            target_chars=4, greedy_too=True)
+        assert r["ref_text"] == "aaaa", r["ref_text"]
+        assert r["ref_chunks"][-1]["finished"]
+        _assert_chunks_equal(r["ours"], r["ref_chunks"])
+        assert r["ours"][-1]["text"] == r["ref_text"]
+        # Greedy finishes on the raw argmax eos at step 1 with empty text.
+        assert r["ref_greedy"][0]["finished"] and r["ref_greedy"][0]["text"] == ""
+        _assert_chunks_equal(r["our_greedy"], r["ref_greedy"],
+                             keys=("token", "token_id", "text", "step",
+                                   "finished"))
+
+    def test_unk_penalty_beam_vs_greedy_quirk(self, tmp_path):
+        """<unk> as raw argmax: the beam's penalized logp (-4.0) evicts it
+        ('b' wins, then AAA ends the run); greedy keeps picking unk and
+        emits empty chars for the whole step budget."""
+        r = self._run_case(
+            tmp_path,
+            {"bos": {"unk": 0.0, "b": -2.0, "j": -6.0},
+             "unk": {"unk": 0.0, "b": -2.0, "j": -6.0},
+             "b": {"b": 0.0, "eos": -0.5, "unk": -0.2, "j": -4.0}},
+            cfg_extra=dict(UNK_LOGP_PENALTY=4.0,
+                           EOS_LOGP_BIAS=0.0, EOS_LOGP_BOOST=0.0),
+            greedy_too=True)
+        assert r["ref_text"].startswith("bbb"), r["ref_text"]
+        _assert_chunks_equal(r["ours"], r["ref_chunks"])
+        assert r["ours"][-1]["text"] == r["ref_text"]
+        unk_dec = r["tok"].unk_id + r["tok"].dec_offset
+        assert all(c["token_id"] == unk_dec for c in r["ref_greedy"])
+        assert r["ref_greedy"][-1]["text"] == ""
+        _assert_chunks_equal(r["our_greedy"], r["ref_greedy"],
+                             keys=("token", "token_id", "text", "step",
+                                   "finished"))
+
+
+# ===========================================================================
+# 2. Trained flagship corpus, both frameworks, all three decode modes
+# ===========================================================================
+FLAGSHIP = REPO / "models" / "model.safetensors"
+
+flagship_missing = pytest.mark.skipif(
+    not FLAGSHIP.exists(), reason="trained flagship checkpoint absent")
+
+
+@pytest.fixture(scope="module")
+def flagship_pair():
+    from safetensors.torch import load_file as load_torch
+
+    from kiri_ocr.model import CFG as RefCFG
+    from kiri_ocr.model import CharTokenizer as RefTok
+    from kiri_ocr.model import KiriOCR as RefModel
+    from kiri_tpu.train.checkpoints import load_checkpoint
+
+    variables, cfg, meta = load_checkpoint(str(FLAGSHIP))
+    # f32 on both sides: the parity claim is about the algorithms; bf16 is
+    # our (documented) TPU compute dtype.
+    cfg = cfg.replace(COMPUTE_DTYPE="float32")
+    vocab = str(REPO / "models" / "vocab.json")
+    tok = CharTokenizer(vocab, cfg)
+    engine = RecognizerEngine(variables, cfg, tok)
+
+    ref_kw = {k: v for k, v in meta["config"].items()
+              if k in RefCFG.__dataclass_fields__}
+    ref_cfg = RefCFG(**ref_kw)
+    ref_tok = RefTok(vocab, ref_cfg)
+    ref_model = RefModel(ref_cfg, ref_tok,
+                         use_dec_pos_enc=variables["meta"].use_dec_pos_enc)
+    ref_model.load_state_dict(load_torch(str(FLAGSHIP)))
+    ref_model.eval()
+    return engine, variables, cfg, tok, ref_model, ref_tok, ref_cfg
+
+
+@pytest.fixture(scope="module")
+def corpus(flagship_pair):
+    """64 mixed-script lines rendered exactly as the benchmark does."""
+    import tempfile
+
+    from kiri_tpu.data.synth import DatasetGenerator, sample_text
+    from kiri_tpu.ops.preprocess import resize_keep_ratio_pad_np
+
+    engine, variables, cfg, tok, *_ = flagship_pair
+    gen = DatasetGenerator(tempfile.mkdtemp(prefix="parity_corpus_"),
+                           height=cfg.IMG_H, augment=False)
+    charset = "".join(t for t in tok.token_to_id if len(t) == 1)
+    texts = [sample_text(gen.rng, 2, 6, charset) for _ in range(64)]
+    samples = gen.generate_samples(64, texts=texts)
+    imgs = np.stack([resize_keep_ratio_pad_np(s["image"], cfg.IMG_H, 320)
+                     for s in samples])
+    return imgs, [s["text"] for s in samples]
+
+
+def _ref_encode_batch(ref_model, imgs_u8):
+    x = torch.tensor(imgs_u8, dtype=torch.float32)[:, None] / 255.0
+    x = (x - 0.5) / 0.5
+    with torch.inference_mode():
+        mem = ref_model.encode(x)
+        memp = ref_model.mem_proj(mem)
+        ctc = ref_model.ctc_head(mem)
+    return mem, memp, ctc
+
+
+@flagship_missing
+def test_flagship_fast_corpus_64_lines(flagship_pair, corpus):
+    """CTC fast decode: 64 mixed-script lines, text + confidence parity."""
+    from kiri_ocr.model import compute_ctc_confidence
+
+    engine, variables, cfg, tok, ref_model, ref_tok, _ = flagship_pair
+    imgs, _ = corpus
+    _, _, ref_ctc = _ref_encode_batch(ref_model, imgs)
+
+    ours = engine.recognize_batch(imgs, "ctc")
+    mismatches = []
+    for i in range(len(imgs)):
+        conf, text, _ = compute_ctc_confidence(ref_ctc[i: i + 1], ref_tok)
+        if ours[i][0] != text or abs(ours[i][1] - conf) > 5e-3:
+            mismatches.append((i, ours[i], text, conf))
+    assert not mismatches, mismatches[:5]
+
+
+@flagship_missing
+def test_flagship_beam_corpus(flagship_pair, corpus):
+    """Beam decode on trained weights: text parity on 6 lines (the torch
+    reference beam runs ~1s+/line on CPU, so the corpus is sampled)."""
+    from kiri_ocr.model import beam_decode_one_batched
+
+    engine, variables, cfg, tok, ref_model, ref_tok, ref_cfg = flagship_pair
+    imgs, _ = corpus
+    sel = imgs[:6]
+    _, ref_memp, ref_ctc = _ref_encode_batch(ref_model, sel)
+    ours = engine.recognize_batch(sel, "beam")
+    for i in range(len(sel)):
+        ref_text, ref_conf = beam_decode_one_batched(
+            ref_model, ref_memp[i: i + 1], ref_tok, ref_cfg,
+            ctc_logits_1=ref_ctc[i: i + 1])
+        assert ours[i][0] == ref_text, (i, ours[i][0], ref_text)
+        assert abs(ours[i][1] - ref_conf) < 5e-2
+
+
+@flagship_missing
+@pytest.mark.parametrize("method", ["ctc", "decoder", "beam"])
+def test_flagship_streaming_chunkwise(flagship_pair, corpus, method):
+    """All three streaming variants, chunk-for-chunk on trained weights
+    (reference: kiri_ocr/model.py:689-775, 779-946, 949-1153)."""
+    from kiri_ocr import model as ref_mod
+
+    engine, variables, cfg, tok, ref_model, ref_tok, ref_cfg = flagship_pair
+    imgs, _ = corpus
+    n = 4 if method == "beam" else 6
+    sel = imgs[:n]
+    ref_mem, ref_memp, ref_ctc = _ref_encode_batch(ref_model, sel)
+
+    our_records = engine.stream_records_batch(sel, method)
+    for i in range(n):
+        if method == "ctc":
+            ref_chunks = list(ref_mod.greedy_ctc_decode_streaming(
+                ref_model, ref_mem[i: i + 1], ref_tok, ref_cfg))
+            keys = ("token", "token_id", "text", "step", "finished")
+        elif method == "decoder":
+            ref_chunks = list(ref_mod.greedy_decode_streaming(
+                ref_model, ref_memp[i: i + 1], ref_tok, ref_cfg,
+                ctc_logits_1=ref_ctc[i: i + 1]))
+            keys = ("token", "token_id", "text", "step", "finished")
+        else:
+            ref_chunks = list(ref_mod.beam_decode_streaming(
+                ref_model, ref_memp[i: i + 1], ref_tok, ref_cfg,
+                ctc_logits_1=ref_ctc[i: i + 1]))
+            keys = ("token", "text", "step", "finished")
+        _assert_chunks_equal(our_records[i], ref_chunks, conf_atol=5e-3,
+                             keys=keys)
