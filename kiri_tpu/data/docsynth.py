@@ -25,6 +25,89 @@ LAYOUTS = ("single_column", "two_column", "title_paragraph", "sparse",
 _LAYOUT_WEIGHTS = (0.3, 0.15, 0.2, 0.1, 0.15, 0.1)
 
 
+CONDITIONS = ("clean", "rotated", "noisy", "inverted", "textured",
+              "low_contrast")
+
+
+def apply_condition(doc: Dict[str, object], condition: str,
+                    rng: random.Random) -> Dict[str, object]:
+    """Degrade a generated document for robustness evaluation.
+
+    Returns a NEW doc dict with image and (for 'rotated') line/char boxes
+    transformed consistently. Conditions mirror the robustness surface the
+    reference detectors are expected to absorb (adaptive binarization sweeps
+    in legacy/detector.py; DB/CRAFT trained-invariances).
+    """
+    img = np.asarray(doc["image"], np.uint8)
+    lines = list(doc["lines"])
+    chars = [list(c) for c in doc["chars"]]
+    nprng = np.random.default_rng(rng.getrandbits(32))
+
+    if condition == "clean":
+        pass
+    elif condition == "rotated":
+        angle = rng.uniform(2.0, 6.0) * (1 if rng.random() < 0.5 else -1)
+        bg = int(np.median(img))
+        pil = Image.fromarray(img).rotate(angle, resample=Image.BILINEAR,
+                                          expand=False, fillcolor=bg)
+        img = np.asarray(pil, np.uint8)
+        h, w = img.shape
+        # PIL rotates CCW for positive angles about the center; image-coord
+        # transform of content points is rotation by +angle (y down).
+        th = np.deg2rad(angle)
+        c, s = np.cos(th), np.sin(th)
+        cx, cy = (w - 1) / 2, (h - 1) / 2
+
+        def rot_box(b):
+            x, y, bw, bh = b
+            pts = np.array([[x, y], [x + bw, y], [x, y + bh],
+                            [x + bw, y + bh]], float) - (cx, cy)
+            pts = pts @ np.array([[c, s], [-s, c]]) + (cx, cy)
+            x0, y0 = pts.min(0)
+            x1, y1 = pts.max(0)
+            return (int(round(x0)), int(round(y0)),
+                    int(round(x1 - x0)), int(round(y1 - y0)))
+
+        lines = [rot_box(b) for b in lines]
+        chars = [[rot_box(b) for b in row] for row in chars]
+    elif condition == "noisy":
+        sigma = rng.uniform(14, 26)
+        noisy = img.astype(np.float32) + nprng.normal(0, sigma, img.shape)
+        # salt & pepper speckle
+        mask = nprng.random(img.shape)
+        noisy[mask < 0.002] = 0
+        noisy[mask > 0.998] = 255
+        img = np.clip(noisy, 0, 255).astype(np.uint8)
+    elif condition == "inverted":
+        img = (255 - img).astype(np.uint8)
+    elif condition == "textured":
+        h, w = img.shape
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        fx, fy = rng.uniform(1.5, 4.0), rng.uniform(1.5, 4.0)
+        ph1, ph2 = rng.uniform(0, 6.28), rng.uniform(0, 6.28)
+        tex = (np.sin(xx / w * fx * 6.28 + ph1)
+               + np.sin(yy / h * fy * 6.28 + ph2)) * rng.uniform(6, 14)
+        grad = (xx / w - 0.5) * rng.uniform(-30, 30)
+        out = img.astype(np.float32) + tex + grad
+        for _ in range(rng.randint(2, 5)):  # light blotches
+            bx, by = rng.randint(0, w - 1), rng.randint(0, h - 1)
+            r = rng.randint(40, 120)
+            d2 = (xx - bx) ** 2 + (yy - by) ** 2
+            out -= np.exp(-d2 / (2 * r * r)) * rng.uniform(10, 25)
+        img = np.clip(out, 0, 255).astype(np.uint8)
+    elif condition == "low_contrast":
+        lo, hi = rng.uniform(70, 110), rng.uniform(170, 210)
+        img = (img.astype(np.float32) / 255.0 * (hi - lo) + lo
+               ).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown condition {condition!r}")
+
+    out_doc = dict(doc)
+    out_doc.update(image=img, lines=lines, chars=chars,
+                   condition=condition)
+    return out_doc
+
+
 class DocumentGenerator:
     """Renders synthetic documents and their detection ground truth."""
 
@@ -39,10 +122,12 @@ class DocumentGenerator:
         self.khmer_ratio = khmer_ratio if self.fonts.khmer_fonts else 0.0
 
     # ------------------------------------------------------------ rendering
-    def generate(self) -> Dict[str, object]:
+    def generate(self, layout: Optional[str] = None) -> Dict[str, object]:
         """One document: {image u8 [H,W], lines: [(x,y,w,h)], texts: [str],
-        chars: [[(x,y,w,h) per char] per line], layout: str}."""
-        layout = self.rng.choices(LAYOUTS, weights=_LAYOUT_WEIGHTS)[0]
+        chars: [[(x,y,w,h) per char] per line], layout: str}.
+        ``layout`` forces a specific LAYOUTS entry (None = weighted random)."""
+        if layout is None:
+            layout = self.rng.choices(LAYOUTS, weights=_LAYOUT_WEIGHTS)[0]
         bg = self.rng.randint(240, 255) if self.augment else 255
         img = Image.new("L", (self.width, self.height), bg)
         draw = ImageDraw.Draw(img)

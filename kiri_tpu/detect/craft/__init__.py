@@ -181,6 +181,12 @@ class CRAFTDetector:
         import jax
         import jax.numpy as jnp
 
+        from ...ops.preprocess import invert_if_dark
+
+        # Polarity guard: dark-mode pages sit outside the training
+        # distribution (reference recognizer preprocess does the same,
+        # kiri_ocr/core.py:524-526).
+        gray = invert_if_dark(gray)
         canvas, ratio = resize_aspect_ratio(gray, self.canvas_size,
                                             self.mag_ratio)
         region, affinity = jax.device_get(

@@ -214,6 +214,12 @@ class DBDetector:
         if img is None:
             return ([], []) if return_scores else []
         gray = self._to_gray(img)
+        # Dark-mode pages (white-on-black) are outside the net's training
+        # distribution; normalize polarity like the recognizer preprocess
+        # does (reference: kiri_ocr/core.py:524-526).
+        from ...ops.preprocess import invert_if_dark
+
+        gray = invert_if_dark(gray)
         pred, (net_h, net_w, orig_h, orig_w) = self.predict_maps(gray)
         bitmap = (pred > self.det_db_thresh).astype(np.uint8)
         if self.debug:

@@ -272,6 +272,7 @@ class RecognizerEngine:
                 eos_id=self.tok.dec_eos,
                 unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
                 bos_id=self.tok.dec_bos)
+            out = jax.device_get(out)  # ONE fused fetch for all rows
             return [list(self._stream_greedy(out, i)) for i in range(n)]
         out = D.beam_search(
             self.variables, memp, ctc, tl, conf, cfg=self.cfg,
@@ -279,6 +280,16 @@ class RecognizerEngine:
             eos_id=self.tok.dec_eos,
             unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
             dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
+        # The [N, S, L_buf] best-beam history dominates the result payload
+        # (134MB at N=128, S=512 in int32). Downcast token ids to uint16 on
+        # device (vocabularies are far below 65k) and fetch EVERYTHING in
+        # one device_get — per-row np.asarray would re-download the full
+        # buffer once per region.
+        if self.tok.dec_vocab < 65535:
+            out = out._replace(
+                tokens=out.tokens.astype(jnp.uint16),
+                hist_tokens=out.hist_tokens.astype(jnp.uint16))
+        out = jax.device_get(out)
         return [list(self._stream_beam(out, i)) for i in range(n)]
 
     def _stream_ctc_row(self, best_ids: np.ndarray, max_probs: np.ndarray

@@ -209,12 +209,18 @@ def init_self_cache(n_layers: int, batch: int, max_len: int, n_heads: int,
 def decoder_step_layer(p: Params, x: jnp.ndarray, layer_idx: int,
                        cache: Dict[str, jnp.ndarray], pos: jnp.ndarray,
                        cross_k: jnp.ndarray, cross_v: jnp.ndarray,
-                       n_heads: int) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                       n_heads: int, beams: int = 1
+                       ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One decoder layer for a single new position with KV cache.
 
     x:      [B, 1, D] current-token activations
     pos:    scalar int — write index into the cache (same for all rows)
     cache:  stacked per-layer K/V [L, B, Tmax, H, hd]
+    beams:  static beam count K. When >1, ``cross_k``/``cross_v`` are
+            [B//K, T, H, hd] — shared across the K beams of each line
+            instead of repeated K times, so each decode step reads the
+            encoder memory K/V once per line rather than once per beam
+            (the dominant HBM traffic of the beam loop).
     """
     d = x.shape[-1]
     hd = d // n_heads
@@ -248,11 +254,21 @@ def decoder_step_layer(p: Params, x: jnp.ndarray, layer_idx: int,
     # Cross attention against precomputed memory K/V.
     h = layer_norm(p["ln2"], x)
     q = _split_heads(dense(p["cross_attn"]["wq"], h), n_heads)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, cross_k.astype(q.dtype),
-                        preferred_element_type=jnp.float32) / math.sqrt(hd)
-    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    ca = jnp.einsum("bhqk,bkhd->bqhd", attn, cross_v.astype(q.dtype),
-                    preferred_element_type=jnp.float32).astype(q.dtype)
+    if beams > 1:
+        nl = b // beams
+        qk = q.reshape(nl, beams, n_heads, hd)        # [N, K, H, hd]
+        scores = jnp.einsum("nkhd,nthd->nkht", qk, cross_k.astype(q.dtype),
+                            preferred_element_type=jnp.float32) / math.sqrt(hd)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        ca = jnp.einsum("nkht,nthd->nkhd", attn, cross_v.astype(q.dtype),
+                        preferred_element_type=jnp.float32).astype(q.dtype)
+        ca = ca.reshape(b, 1, n_heads, hd)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, cross_k.astype(q.dtype),
+                            preferred_element_type=jnp.float32) / math.sqrt(hd)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        ca = jnp.einsum("bhqk,bkhd->bqhd", attn, cross_v.astype(q.dtype),
+                        preferred_element_type=jnp.float32).astype(q.dtype)
     x = x + dense(p["cross_attn"]["wo"], _merge_heads(ca))
 
     x = x + ffn(p["ffn"], layer_norm(p["ln3"], x))

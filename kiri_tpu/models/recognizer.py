@@ -141,21 +141,37 @@ def _bn(p: Params, s: Params, x: jnp.ndarray, train: bool,
     return y.astype(x.dtype), new_s
 
 
-def _conv3x3_cin1_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Exact 3x3 stride-1 SAME conv for C_in=1 as an im2col matmul.
+def _conv3x3_matmul(x: jnp.ndarray, w: jnp.ndarray,
+                    stride: Tuple[int, int]) -> jnp.ndarray:
+    """Exact 3x3 SAME conv (pad 1, any stride) as an im2col matmul.
 
-    XLA's conv lowering for single-channel inputs runs off the MXU on this
-    backend (~32 ms for the stem's first layer at batch 128 — 0.03% of
-    peak). Gathering the 9 taps into a [B,H,W,9] tensor and contracting
-    against the [9, C_out] filter runs as one well-tiled matmul (<1 ms).
-    x: [B, H, W, 1]; w: [3, 3, 1, C_out].
+    XLA's conv lowering runs off the MXU on this backend for the stem's
+    small channel counts (measured round 2: conv0 at batch 128 took ~32 ms,
+    0.03% of peak; convs 1-3 together ~35 ms of the 45 ms encode).
+    Gathering the 9 taps into a [B,Ho,Wo,9*Cin] tensor and contracting
+    against the [9*Cin, C_out] filter runs as one well-tiled matmul with an
+    MXU-friendly K dimension (432/864/1440 for convs 1-3).
+
+    x: [B, H, W, Cin]; w: [3, 3, Cin, Cout]. Tap order (dy, dx, cin) matches
+    ``w.reshape(9*Cin, Cout)`` row order exactly.
     """
-    b, h, wd, _ = x.shape
-    xp = jnp.pad(x[..., 0], ((0, 0), (1, 1), (1, 1)))
-    taps = [xp[:, dy: dy + h, dx: dx + wd]
-            for dy in range(3) for dx in range(3)]
-    patches = jnp.stack(taps, axis=-1)                 # [B, H, W, 9]
-    return patches @ w.reshape(9, w.shape[-1])
+    b, h, wd, cin = x.shape
+    sh, sw = stride
+    ho = (h - 1) // sh + 1
+    wo = (wd - 1) // sw + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [
+        jax.lax.slice(
+            xp, (0, dy, dx, 0),
+            (b, dy + sh * (ho - 1) + 1, dx + sw * (wo - 1) + 1, cin),
+            (1, sh, sw, 1))
+        for dy in range(3) for dx in range(3)
+    ]
+    patches = (jnp.stack([t[..., 0] for t in taps], axis=-1) if cin == 1
+               else jnp.concatenate(taps, axis=-1))    # [B, Ho, Wo, 9*Cin]
+    # No preferred_element_type: the VJP would see mixed bf16/f32 operands;
+    # XLA already accumulates bf16 matmuls in f32 on the MXU.
+    return patches @ w.reshape(9 * cin, w.shape[-1]).astype(x.dtype)
 
 
 def stem_forward(params: Params, stats: Params, x: jnp.ndarray, cfg,
@@ -164,16 +180,7 @@ def stem_forward(params: Params, stats: Params, x: jnp.ndarray, cfg,
     new_stats = {}
     for i, stride in enumerate(_STEM_STRIDES):
         w = params[f"conv{i}"]["w"].astype(x.dtype)
-        # No preferred_element_type here: conv VJP rejects mixed-dtype
-        # (bf16 input, f32 cotangent) operands; XLA already accumulates
-        # bf16 convs in f32 on the MXU.
-        if i == 0 and x.shape[-1] == 1 and stride == (1, 1):
-            x = _conv3x3_cin1_matmul(x, w)
-        else:
-            x = jax.lax.conv_general_dilated(
-                x, w, window_strides=stride, padding=((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+        x = _conv3x3_matmul(x, w, stride)
         x, ns = _bn(params[f"bn{i}"], stats[f"bn{i}"], x, train)
         if ns is not None:
             new_stats[f"bn{i}"] = ns
@@ -290,9 +297,30 @@ def init_decode_cache(cfg, batch: int, max_len: int):
                              cfg.DEC_HEADS, cfg.DEC_DIM // cfg.DEC_HEADS, dtype)
 
 
+def fuse_output_heads(params: Params) -> Optional[Params]:
+    """Concatenate dec_head and lm_head into one [D, 2V] linear.
+
+    The decode loop needs both logit sets every step; two separate [B,1,D] x
+    [D,V] matmuls waste an MXU pass each on a tiny N — one fused matmul
+    halves the per-step head cost. Returns None when there is no lm_head.
+    """
+    if "lm_head" not in params:
+        return None
+    dh, lh = params["dec_head"], params["lm_head"]
+    fused = {"w": jnp.concatenate([dh["w"], lh["w"]], axis=1)}
+    if "b" in dh:
+        fused["b"] = jnp.concatenate([dh["b"], lh["b"]])
+    return fused
+
+
 def decoder_step(variables: Dict[str, Any], tok_ids: jnp.ndarray, pos,
-                 cache, cross_kvs, cfg):
+                 cache, cross_kvs, cfg, beams: int = 1, fused_head=None):
     """One AR step. tok_ids: [B] int32, pos: scalar int32 position index.
+
+    beams: static K; when >1 the cross_kvs entries are per-line (B//K rows)
+    and shared across beams (see layers.decoder_step_layer). fused_head: the
+    precomputed [D, 2V] head from ``fuse_output_heads`` — pass it from
+    outside the decode loop so the concatenation isn't re-traced per step.
 
     Returns (dec_logits [B, V] f32, lm_logits [B, V] f32 or None, cache).
     """
@@ -305,12 +333,18 @@ def decoder_step(variables: Dict[str, Any], tok_ids: jnp.ndarray, pos,
         x = x + jax.lax.dynamic_slice_in_dim(table, pos, 1, axis=0)[None]
     for i, lp in enumerate(params["dec_layers"]):
         ck, cv = cross_kvs[i]
-        x, cache = L.decoder_step_layer(lp, x, i, cache, pos, ck, cv, cfg.DEC_HEADS)
+        x, cache = L.decoder_step_layer(lp, x, i, cache, pos, ck, cv,
+                                        cfg.DEC_HEADS, beams)
     x = L.layer_norm(params["dec_ln"], x)
-    dec_logits = L.dense(params["dec_head"], x)[:, 0].astype(jnp.float32)
-    lm_logits = None
-    if cfg.USE_LM and "lm_head" in params:
-        lm_logits = L.dense(params["lm_head"], x)[:, 0].astype(jnp.float32)
+    use_lm = cfg.USE_LM and "lm_head" in params
+    if use_lm and fused_head is not None:
+        v = params["dec_head"]["w"].shape[1]
+        both = L.dense(fused_head, x)[:, 0].astype(jnp.float32)
+        dec_logits, lm_logits = both[:, :v], both[:, v:]
+    else:
+        dec_logits = L.dense(params["dec_head"], x)[:, 0].astype(jnp.float32)
+        lm_logits = (L.dense(params["lm_head"], x)[:, 0].astype(jnp.float32)
+                     if use_lm else None)
     return dec_logits, lm_logits, cache
 
 

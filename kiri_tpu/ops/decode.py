@@ -175,9 +175,12 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
 
     max_steps = jnp.minimum(max_decode_steps(cfg, target_len, t_mem), l_cap)
 
-    # Cross-attention K/V computed once; repeated across beams.
-    mem_rep = jnp.repeat(mem_proj, K, axis=0)           # [N*K, T, D]
-    cross_kvs = R.decode_prepare(variables, mem_rep, cfg)
+    # Cross-attention K/V computed once per LINE and shared across its K
+    # beams inside the step (layers.decoder_step_layer beams>1 path) — the
+    # repeated-[N*K] layout would re-read the memory K/V K times per step,
+    # the dominant HBM traffic of the loop.
+    cross_kvs = R.decode_prepare(variables, mem_proj, cfg)
+    fused_head = R.fuse_output_heads(variables["params"])
     cache = R.init_decode_cache(cfg, n * K, l_buf)
 
     tokens0 = jnp.zeros((n, K, l_buf), jnp.int32).at[:, :, 0].set(bos_id)
@@ -211,7 +214,8 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
             tokens, jnp.broadcast_to(jnp.maximum(lengths - 1, 0)[..., None],
                                      (n, K, 1)), axis=2)[..., 0]
         dec_logits, lm_logits, cache = R.decoder_step(
-            variables, cur_tok.reshape(n * K), t, cache, cross_kvs, cfg)
+            variables, cur_tok.reshape(n * K), t, cache, cross_kvs, cfg,
+            beams=K, fused_head=fused_head)
         logp = _fused_logp(dec_logits, lm_logits, cfg)         # [N*K, V]
         tl_rep = jnp.repeat(target_len, K)
         logp = apply_penalties(logp, tokens.reshape(n * K, l_buf), t, cfg,
@@ -261,9 +265,14 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
         # gating the gather to only-written length segments via lax.cond
         # is bit-identical but SLOWER on TPU — the per-segment concatenate
         # rebuilds the full buffer anyway; the plain whole-buffer gather
-        # wins.)
+        # wins.) The whole gather IS skipped when the parent permutation is
+        # the identity — the steady state once beams stabilize / lines
+        # finish — via a scalar-predicate cond (one branch executes on TPU).
         flat_parent = (rowsN * K + parent).reshape(-1)
-        cache = {k: v[:, flat_parent] for k, v in cache.items()}
+        is_identity = jnp.all(flat_parent == jnp.arange(n * K))
+        cache = jax.lax.cond(
+            is_identity, lambda c: c,
+            lambda c: {k: v[:, flat_parent] for k, v in c.items()}, cache)
 
         # Freeze lines that are done (keep previous state).
         la = line_active[:, None]
@@ -351,6 +360,7 @@ def greedy_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
 
     max_steps = jnp.minimum(max_decode_steps(cfg, target_len, t_mem), l_cap)
     cross_kvs = R.decode_prepare(variables, mem_proj, cfg)
+    fused_head = R.fuse_output_heads(variables["params"])
     cache = R.init_decode_cache(cfg, n, l_buf)
 
     tokens0 = jnp.zeros((n, l_buf), jnp.int32).at[:, 0].set(bos_id)
@@ -374,7 +384,8 @@ def greedy_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
         cur_tok = jnp.take_along_axis(tokens, jnp.maximum(lengths - 1, 0)[:, None],
                                       axis=1)[:, 0]
         dec_logits, lm_logits, cache = R.decoder_step(
-            variables, cur_tok, t, cache, cross_kvs, cfg)
+            variables, cur_tok, t, cache, cross_kvs, cfg,
+            fused_head=fused_head)
         logp = _fused_logp(dec_logits, lm_logits, cfg)
         logp = apply_penalties(logp, tokens, t, cfg, target_len, eos_id, unk_dec_id)
 

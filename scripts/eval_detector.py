@@ -1,12 +1,14 @@
 """Evaluate a trained detector on held-out synthetic documents: line recall /
-precision on English-only and mixed Khmer+English layouts.
+precision on English-only and mixed Khmer+English layouts PLUS a robustness
+suite (rotation, noise, inversion, textured background, low contrast, forced
+multi-column) — 8 rows x n docs each (>=100 docs at the default n).
 
 A ground-truth line counts as recalled if some detected box covers its
 center and at least half its area; a detection counts as a true positive if
-it hits any GT line. Reports per-khmer-ratio metrics as one JSON line.
+it hits any GT line. Reports per-condition metrics as one JSON line.
 
 Usage: python scripts/eval_detector.py [--detector db|craft]
-           [--model models/detector.safetensors] [--n 24]
+           [--model models/detector.safetensors] [--n 16]
 """
 from __future__ import annotations
 
@@ -62,13 +64,13 @@ def main() -> None:
         return [np.asarray([[b.x, b.y], [b.x + b.width, b.y + b.height]])
                 for b in det.detect_lines_objects(img)]
 
-    report = {}
-    for ratio in (0.0, 0.4):
+    import random as pyrandom
+
+    from kiri_tpu.data.docsynth import CONDITIONS, apply_condition
+
+    def run_suite(docs):
         hits = total = tps = dets = 0
-        for i in range(args.n):
-            gen = DocumentGenerator(640, 640, seed=args.seed + i,
-                                    khmer_ratio=ratio)
-            doc = gen.generate()
+        for doc in docs:
             rects = [_rect_of(np.asarray(p)) for p in detect(doc["image"])]
             gt = doc["lines"]
             total += len(gt)
@@ -77,13 +79,43 @@ def main() -> None:
                 hits += any(_covers(r, g) for r in rects)
             for r in rects:
                 tps += any(_covers(r, g) for g in gt)
-        key = "mixed" if ratio > 0 else "english"
-        report[key] = {"n_docs": args.n, "gt_lines": total,
-                       "recall": round(hits / max(1, total), 4),
-                       "precision": round(tps / max(1, dets), 4),
-                       "detections": dets}
+        return {"n_docs": len(docs), "gt_lines": total,
+                "recall": round(hits / max(1, total), 4),
+                "precision": round(tps / max(1, dets), 4),
+                "detections": dets}
+
+    report = {}
+    # Baseline rows: english-only and mixed Khmer+English random layouts.
+    for ratio, key in ((0.0, "english"), (0.4, "mixed")):
+        docs = [DocumentGenerator(640, 640, seed=args.seed + i,
+                                  khmer_ratio=ratio).generate()
+                for i in range(args.n)]
+        report[key] = run_suite(docs)
         print(key, json.dumps(report[key]))
-    print(json.dumps({"detector": args.detector, "report": report}))
+
+    # Robustness rows: every degradation condition + forced multi-column,
+    # mixed-script, args.n docs each (>=100 docs total at the default n).
+    for cond in CONDITIONS[1:]:
+        rng = pyrandom.Random(args.seed + 991 * (1 + CONDITIONS.index(cond)))
+        docs = []
+        for i in range(args.n):
+            gen = DocumentGenerator(640, 640, seed=args.seed + 373 * i + 7,
+                                    khmer_ratio=0.4)
+            docs.append(apply_condition(gen.generate(), cond, rng))
+        report[cond] = run_suite(docs)
+        print(cond, json.dumps(report[cond]))
+
+    docs = [DocumentGenerator(640, 640, seed=args.seed + 119 * i,
+                              khmer_ratio=0.4).generate(layout="two_column")
+            for i in range(args.n)]
+    report["multi_column"] = run_suite(docs)
+    print("multi_column", json.dumps(report["multi_column"]))
+
+    total_docs = sum(v["n_docs"] for v in report.values())
+    worst = min(report.items(), key=lambda kv: kv[1]["recall"])
+    print(json.dumps({"detector": args.detector, "total_docs": total_docs,
+                      "worst_condition": {worst[0]: worst[1]["recall"]},
+                      "report": report}))
 
 
 if __name__ == "__main__":

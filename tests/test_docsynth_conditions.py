@@ -1,0 +1,62 @@
+"""Degradation conditions for detector robustness eval (docsynth.apply_condition)."""
+import random
+
+import numpy as np
+import pytest
+
+from kiri_tpu.data.docsynth import (CONDITIONS, DocumentGenerator,
+                                    apply_condition)
+
+
+@pytest.fixture(scope="module")
+def doc():
+    return DocumentGenerator(320, 320, seed=11, augment=False).generate()
+
+
+@pytest.mark.parametrize("cond", CONDITIONS)
+def test_conditions_produce_valid_docs(doc, cond):
+    rng = random.Random(3)
+    out = apply_condition(doc, cond, rng)
+    img = out["image"]
+    assert img.dtype == np.uint8 and img.shape == doc["image"].shape
+    assert len(out["lines"]) == len(doc["lines"])
+    assert out["condition"] == cond
+    if cond == "clean":
+        np.testing.assert_array_equal(img, doc["image"])
+
+
+def test_rotation_keeps_text_inside_rotated_boxes(doc):
+    """After rotation, dark (text) pixels must still lie inside the union of
+    the transformed line boxes — the GT transform matches the image one."""
+    rng = random.Random(5)
+    out = apply_condition(doc, "rotated", rng)
+    img = out["image"]
+    mask = np.zeros(img.shape, bool)
+    for (x, y, w, h) in out["lines"]:
+        # GT boxes are glyph-tight; a few antialiased/descender pixels sit
+        # just outside them even pre-rotation, so allow a small pad.
+        pad = 6
+        mask[max(0, y - pad): y + h + pad, max(0, x - pad): x + w + pad] = True
+    dark = img < 100
+    inside = float((dark & mask).sum()) / max(1, dark.sum())
+    assert inside > 0.99, inside
+
+
+def test_inverted_flips_polarity(doc):
+    out = apply_condition(doc, "inverted", random.Random(0))
+    assert float(out["image"].mean()) < 128 < float(doc["image"].mean())
+
+
+def test_low_contrast_compresses_range(doc):
+    out = apply_condition(doc, "low_contrast", random.Random(0))
+    assert out["image"].min() >= 60 and out["image"].max() <= 215
+
+
+def test_forced_layout():
+    d = DocumentGenerator(320, 320, seed=2).generate(layout="two_column")
+    assert d["layout"] == "two_column"
+
+
+def test_unknown_condition_raises(doc):
+    with pytest.raises(ValueError):
+        apply_condition(doc, "underwater", random.Random(0))
