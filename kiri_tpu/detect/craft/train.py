@@ -34,6 +34,9 @@ class CRAFTTrainConfig:
     out_dir: str = "checkpoints_craft"
     log_every: int = 50
     pool_size: int = 256
+    # Probability of degrading a doc with a robustness condition (GT maps
+    # are rasterized AFTER the transform, so boxes stay consistent).
+    aug_conditions: float = 0.0
 
 
 def craft_loss(variables, batch):
@@ -47,14 +50,22 @@ def craft_loss(variables, batch):
     return loss, (new_stats, {"loss": loss})
 
 
-def make_batch(gen: DocumentGenerator, batch_size: int, size: int
-               ) -> Dict[str, np.ndarray]:
+_TRAIN_CONDITIONS = ("rotated", "noisy", "textured", "low_contrast")
+
+
+def make_batch(gen: DocumentGenerator, batch_size: int, size: int,
+               aug_conditions: float = 0.0) -> Dict[str, np.ndarray]:
+    from ...data.docsynth import apply_condition
+
     half = size // 2
     imgs = np.zeros((batch_size, size, size, 1), np.float32)
     regions = np.zeros((batch_size, half, half), np.float32)
     affs = np.zeros((batch_size, half, half), np.float32)
     for i in range(batch_size):
         doc = gen.generate()
+        if aug_conditions and gen.rng.random() < aug_conditions:
+            doc = apply_condition(doc, gen.rng.choice(_TRAIN_CONDITIONS),
+                                  gen.rng)
         img = doc["image"].astype(np.float32)
         imgs[i, :, :, 0] = (img / 255.0 - 0.5) / 0.5
         region, aff = craft_ground_truth(doc["image"].shape, doc["chars"])
@@ -96,7 +107,8 @@ def train_craft(tc: CRAFTTrainConfig, verbose: bool = True,
         if verbose:
             print(f"Pre-generating {tc.pool_size} documents...")
         for _ in range((tc.pool_size + tc.batch_size - 1) // tc.batch_size):
-            pool.append(make_batch(gen, tc.batch_size, tc.image_size))
+            pool.append(make_batch(gen, tc.batch_size, tc.image_size,
+                                   tc.aug_conditions))
     nprng = np.random.default_rng(tc.seed)
 
     out = Path(tc.out_dir)
@@ -105,7 +117,8 @@ def train_craft(tc: CRAFTTrainConfig, verbose: bool = True,
     t0 = time.time()
     for step in range(tc.steps):
         batch = (pool[int(nprng.integers(len(pool)))] if pool
-                 else make_batch(gen, tc.batch_size, tc.image_size))
+                 else make_batch(gen, tc.batch_size, tc.image_size,
+                                 tc.aug_conditions))
         variables, opt_state, metrics = step_jit(variables, opt_state, batch)
         loss = float(metrics["loss"])
         if verbose and tc.log_every and (step + 1) % tc.log_every == 0:

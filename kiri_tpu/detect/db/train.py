@@ -50,6 +50,11 @@ class DBTrainConfig:
     # step). Rendering + GT rasterization is host-bound; a pool keeps the
     # TPU fed.
     pool_size: int = 512
+    # Probability of degrading a training doc with a robustness condition
+    # (rotation/noise/texture/low-contrast; GT boxes transform with the
+    # image). Round-3 eval showed the clean-trained net drops to 0.81-0.86
+    # recall under rotation/low-contrast — see scripts/eval_detector.py.
+    aug_conditions: float = 0.0
 
 
 def db_loss(variables, batch, *, k: float, alpha: float, beta: float,
@@ -107,14 +112,24 @@ def make_db_train_step(tc: DBTrainConfig, optimizer):
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+_TRAIN_CONDITIONS = ("rotated", "noisy", "textured", "low_contrast")
+# "inverted" is deliberately absent: inference normalizes polarity up front
+# (invert-if-dark in DBDetector.detect / CRAFT predict_maps).
+
+
 def make_batch(gen: DocumentGenerator, batch_size: int,
-               size: int) -> Dict[str, np.ndarray]:
+               size: int, aug_conditions: float = 0.0) -> Dict[str, np.ndarray]:
+    from ...data.docsynth import apply_condition
+
     imgs = np.zeros((batch_size, size, size, 1), np.float32)
     probs = np.zeros((batch_size, size, size), np.float32)
     threshs = np.zeros((batch_size, size, size), np.float32)
     tmasks = np.zeros((batch_size, size, size), np.float32)
     for i in range(batch_size):
         doc = gen.generate()
+        if aug_conditions and gen.rng.random() < aug_conditions:
+            doc = apply_condition(doc, gen.rng.choice(_TRAIN_CONDITIONS),
+                                  gen.rng)
         img = doc["image"].astype(np.float32)
         imgs[i, :, :, 0] = (img / 255.0 - 0.5) / 0.5
         p, t, m = db_ground_truth(doc["image"].shape, doc["lines"])
@@ -147,7 +162,8 @@ def train_db(tc: DBTrainConfig, verbose: bool = True,
         if verbose:
             print(f"Pre-generating {tc.pool_size} documents...")
         for _ in range((tc.pool_size + tc.batch_size - 1) // tc.batch_size):
-            pool.append(make_batch(gen, tc.batch_size, tc.image_size))
+            pool.append(make_batch(gen, tc.batch_size, tc.image_size,
+                                   tc.aug_conditions))
     nprng = np.random.default_rng(tc.seed)
 
     out = Path(tc.out_dir)
@@ -158,7 +174,8 @@ def train_db(tc: DBTrainConfig, verbose: bool = True,
         if pool:
             batch = pool[int(nprng.integers(len(pool)))]
         else:
-            batch = make_batch(gen, tc.batch_size, tc.image_size)
+            batch = make_batch(gen, tc.batch_size, tc.image_size,
+                               tc.aug_conditions)
         rng, sub = jax.random.split(rng)
         variables, opt_state, metrics = step_fn(variables, opt_state,
                                                 batch, sub)

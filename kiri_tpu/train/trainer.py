@@ -62,6 +62,7 @@ class TrainConfig:
     n_devices: Optional[int] = None
     model_parallel: int = 1
     log_every: int = 50
+    select_metric: str = "ctc"     # best-ckpt criterion: ctc | ar | mean
 
 
 # ---------------------------------------------------------------------------
@@ -466,8 +467,17 @@ def train_loop(cfg: CFG, tok: CharTokenizer, tc: TrainConfig,
             row["val_ctc_acc"] = acc
             if trainer.last_ar_acc is not None:
                 row["val_ar_acc"] = trainer.last_ar_acc
-            if acc > trainer.best_val_acc:
-                trainer.best_val_acc = acc
+            # Selection metric: the product's DEFAULT decode is the AR head
+            # ('accurate'), so AR-focused runs can select on it instead of
+            # CTC exact-match (the round-2 accurate-mode CER gap came from
+            # always selecting on the CTC head).
+            ar = trainer.last_ar_acc
+            score = {"ctc": acc,
+                     "ar": ar if ar is not None else acc,
+                     "mean": (acc + ar) / 2 if ar is not None else acc,
+                     }[tc.select_metric]
+            if score > trainer.best_val_acc:
+                trainer.best_val_acc = score
                 trainer.save(out / "model.safetensors", vocab_path)
         trainer.history.append(row)
         if verbose:

@@ -72,6 +72,17 @@ def main() -> None:
     ap.add_argument("--doc-crop-ratio", type=float, default=0.0,
                     help="fraction of samples drawn as detector-style crops "
                          "out of synthetic documents")
+    ap.add_argument("--ctc-weight", type=float, default=0.5)
+    ap.add_argument("--dec-weight", type=float, default=0.5,
+                    help="raise above 0.5 to push AR-head (accurate-mode) "
+                         "quality when it lags the CTC head")
+    ap.add_argument("--from-model", default=None,
+                    help="warm-start weights (ignored when out-dir has a "
+                         "latest.safetensors to resume)")
+    ap.add_argument("--select-metric", default="ctc",
+                    choices=("ctc", "ar", "mean"),
+                    help="best-checkpoint criterion; use ar/mean for "
+                         "accurate-mode-focused continuation runs")
     args = ap.parse_args()
 
     from kiri_tpu.config import CFG
@@ -115,8 +126,11 @@ def main() -> None:
 
     tc = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                      lr=args.lr, out_dir=str(out), log_every=100,
-                     save_steps=0)
-    trainer = train_loop(cfg, tok, tc, train, val, vocab_path=vocab_path)
+                     save_steps=0, ctc_weight=args.ctc_weight,
+                     dec_weight=args.dec_weight,
+                     select_metric=args.select_metric)
+    trainer = train_loop(cfg, tok, tc, train, val, vocab_path=vocab_path,
+                         from_model=args.from_model)
     print(f"Best val CTC exact-match: {trainer.best_val_acc * 100:.2f}%")
     # train_loop writes best model to models/model.safetensors.
 
