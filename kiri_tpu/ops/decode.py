@@ -154,12 +154,16 @@ def _labels_from_tokens(tokens: jnp.ndarray, lengths: jnp.ndarray,
 # Beam search
 # ==========================================================================
 @partial(jax.jit, static_argnames=("cfg", "k_beam", "l_cap", "record_history",
-                                   "eos_id", "unk_dec_id", "dec_offset", "bos_id"))
+                                   "eos_id", "unk_dec_id", "dec_offset", "bos_id",
+                                   "opt_shared_kv", "opt_fused_head",
+                                   "opt_identity_skip"))
 def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 ctc_logits: Optional[jnp.ndarray], target_len: jnp.ndarray,
                 ctc_conf: jnp.ndarray, *, cfg, k_beam: int, l_cap: int,
                 record_history: bool = False, eos_id: int = 2,
-                unk_dec_id: int = 3, dec_offset: int = 3, bos_id: int = 1) -> DecodeOut:
+                unk_dec_id: int = 3, dec_offset: int = 3, bos_id: int = 1,
+                opt_shared_kv: bool = True, opt_fused_head: bool = True,
+                opt_identity_skip: bool = False) -> DecodeOut:
     """Batched beam search over N lines with K beams each.
 
     mem_proj:   [N, T, Ddec] projected encoder memory
@@ -167,6 +171,8 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 final fusion rescoring here
     target_len: [N] int32 CTC length estimates (0 = none)
     l_cap:      static decode-step budget (bucketed MAX over max_steps)
+    opt_*:      static kernel-variant switches (A/B-tested on the v5e via
+                scripts/profile_beam.py); defaults are the measured winners
     """
     n, t_mem, _ = mem_proj.shape
     K = k_beam
@@ -179,8 +185,15 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     # beams inside the step (layers.decoder_step_layer beams>1 path) — the
     # repeated-[N*K] layout would re-read the memory K/V K times per step,
     # the dominant HBM traffic of the loop.
-    cross_kvs = R.decode_prepare(variables, mem_proj, cfg)
-    fused_head = R.fuse_output_heads(variables["params"])
+    if opt_shared_kv:
+        cross_kvs = R.decode_prepare(variables, mem_proj, cfg)
+        step_beams = K
+    else:
+        cross_kvs = R.decode_prepare(variables,
+                                     jnp.repeat(mem_proj, K, axis=0), cfg)
+        step_beams = 1
+    fused_head = (R.fuse_output_heads(variables["params"])
+                  if opt_fused_head else None)
     cache = R.init_decode_cache(cfg, n * K, l_buf)
 
     tokens0 = jnp.zeros((n, K, l_buf), jnp.int32).at[:, :, 0].set(bos_id)
@@ -215,7 +228,7 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                                      (n, K, 1)), axis=2)[..., 0]
         dec_logits, lm_logits, cache = R.decoder_step(
             variables, cur_tok.reshape(n * K), t, cache, cross_kvs, cfg,
-            beams=K, fused_head=fused_head)
+            beams=step_beams, fused_head=fused_head)
         logp = _fused_logp(dec_logits, lm_logits, cfg)         # [N*K, V]
         tl_rep = jnp.repeat(target_len, K)
         logp = apply_penalties(logp, tokens.reshape(n * K, l_buf), t, cfg,
@@ -265,14 +278,16 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
         # gating the gather to only-written length segments via lax.cond
         # is bit-identical but SLOWER on TPU — the per-segment concatenate
         # rebuilds the full buffer anyway; the plain whole-buffer gather
-        # wins.) The whole gather IS skipped when the parent permutation is
-        # the identity — the steady state once beams stabilize / lines
-        # finish — via a scalar-predicate cond (one branch executes on TPU).
+        # wins.) opt_identity_skip wraps the gather in a scalar cond that
+        # skips it when the parent permutation is the identity.
         flat_parent = (rowsN * K + parent).reshape(-1)
-        is_identity = jnp.all(flat_parent == jnp.arange(n * K))
-        cache = jax.lax.cond(
-            is_identity, lambda c: c,
-            lambda c: {k: v[:, flat_parent] for k, v in c.items()}, cache)
+        if opt_identity_skip:
+            is_identity = jnp.all(flat_parent == jnp.arange(n * K))
+            cache = jax.lax.cond(
+                is_identity, lambda c: c,
+                lambda c: {k: v[:, flat_parent] for k, v in c.items()}, cache)
+        else:
+            cache = {k: v[:, flat_parent] for k, v in cache.items()}
 
         # Freeze lines that are done (keep previous state).
         la = line_active[:, None]
