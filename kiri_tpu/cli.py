@@ -128,6 +128,12 @@ def _build_parser() -> argparse.ArgumentParser:
     td.add_argument("--output-dir", default=None)
     td.add_argument("--pool-size", type=int, default=256)
     td.add_argument("--khmer-ratio", type=float, default=0.3)
+    td.add_argument("--aug-conditions", type=float, default=0.0,
+                    help="fraction of training docs degraded with a "
+                         "robustness condition (rotation/noise/texture/"
+                         "low-contrast)")
+    td.add_argument("--from-model", default=None,
+                    help="warm-start detector weights (.safetensors)")
 
     ic = sub.add_parser("init-config", help="Create a training config file")
     ic.add_argument("--output", "-o", default="train_config.yaml")
@@ -325,10 +331,16 @@ def run_train_detector(args) -> None:
                            image_size=args.image_size,
                            pool_size=args.pool_size,
                            khmer_ratio=args.khmer_ratio,
+                           aug_conditions=args.aug_conditions,
                            out_dir=args.output_dir or "checkpoints_db")
         if args.lr:
             tc.lr = args.lr
-        train_db(tc)
+        variables = None
+        if args.from_model:
+            from .detect.db import load_db_checkpoint
+
+            variables = load_db_checkpoint(args.from_model)
+        train_db(tc, variables=variables)
     else:
         from .detect.craft.train import CRAFTTrainConfig, train_craft
 
@@ -336,10 +348,16 @@ def run_train_detector(args) -> None:
                               image_size=args.image_size,
                               pool_size=args.pool_size,
                               khmer_ratio=args.khmer_ratio,
+                              aug_conditions=args.aug_conditions,
                               out_dir=args.output_dir or "checkpoints_craft")
         if args.lr:
             tc.lr = args.lr
-        train_craft(tc)
+        variables = None
+        if args.from_model:
+            from .detect.craft import load_craft_checkpoint
+
+            variables = load_craft_checkpoint(args.from_model)
+        train_craft(tc, variables=variables)
 
 
 def init_config(args) -> None:
