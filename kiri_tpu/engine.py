@@ -208,10 +208,35 @@ class RecognizerEngine:
                 for i, t, c in zip(idxs, texts, conf_np[:m]):
                     out[i] = (t, float(c))
             return out  # type: ignore[return-value]
-        for idxs, (memp, ctc, ids, conf, est, m) in pending:
-            for i, res in zip(idxs, self._finish(memp, ctc, ids, conf, est,
-                                                 m, method)):
-                out[i] = res
+        # Beam/greedy: pipeline the chunks like the CTC path. One fused
+        # fetch of every chunk's length estimates, then ALL decode
+        # while_loops enqueued back-to-back, then one fused result fetch —
+        # per-chunk _finish would serialize (est fetch + launch + result
+        # fetch) x chunks round-trips over the link.
+        k = 1 if method == "decoder" else self.cfg.BEAM
+        ests = jax.device_get([est for _, (_, _, _, _, est, _) in pending])
+        launched = []
+        for (idxs, (memp, ctc, ids, conf, est, m)), est_np in zip(pending,
+                                                                  ests):
+            l_cap = self._step_cap(est_np, m, memp.shape[1])
+            tl = jnp.asarray(np.where(est_np > 0, est_np, 0), jnp.int32)
+            dec = D.beam_search(
+                self.variables, memp, ctc, tl, conf, cfg=self.cfg, k_beam=k,
+                l_cap=l_cap, eos_id=self.tok.dec_eos,
+                unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+                dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
+            launched.append((idxs, m, dec))
+        fetched = jax.device_get(
+            [(d.tokens, d.lengths, d.final_conf) for _, _, d in launched])
+        for (idxs, m, _), (tokens, lengths, final_conf) in zip(launched,
+                                                               fetched):
+            for row, i in enumerate(idxs):
+                tok_ids = tokens[row, 1: lengths[row]]
+                eos_pos = np.nonzero(tok_ids == self.tok.dec_eos)[0]
+                if eos_pos.size:
+                    tok_ids = tok_ids[: eos_pos[0]]
+                out[i] = (self.tok.decode_dec(tok_ids),
+                          float(final_conf[row]))
         return out  # type: ignore[return-value]
 
     def _finish(self, memp, ctc, ids, conf, est, n: int, method: str
