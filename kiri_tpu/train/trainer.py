@@ -346,7 +346,13 @@ class Trainer:
             for p, t in zip(preds, texts):
                 correct += int(p == t)
                 total += 1
-            if ar_sample_every and bi % ar_sample_every == 0 and len(texts):
+            # AR sample: the whole FIRST batch (a real sample — a 1-line
+            # probe makes ar_acc a coin flip and poisons select_metric),
+            # plus one line of every ar_sample_every-th later batch.
+            if ar_sample_every and bi == 0:
+                ar_imgs.append(np.asarray(imgs))
+                ar_texts.extend(texts)
+            elif ar_sample_every and bi % ar_sample_every == 0 and len(texts):
                 ar_imgs.append(np.asarray(imgs[:1]))
                 ar_texts.append(texts[0])
         acc = correct / max(1, total)
