@@ -71,3 +71,55 @@ def test_pallas_kernel_matches_ref(crops):
                                           jnp.asarray(sizes), 48, 160,
                                           interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# im2col stem conv vs XLA's native conv (exactness, all stem layer shapes)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("shape,cout,stride", [
+    ((2, 48, 64, 1), 48, (1, 1)),     # conv0
+    ((2, 48, 64, 48), 96, (2, 2)),    # conv1
+    ((2, 24, 32, 96), 160, (2, 2)),   # conv2
+    ((2, 12, 16, 160), 256, (2, 1)),  # conv3
+    ((1, 47, 33, 8), 16, (2, 2)),     # odd spatial dims
+    ((1, 5, 7, 3), 4, (2, 1)),
+])
+def test_conv3x3_matmul_matches_lax_conv(shape, cout, stride):
+    from kiri_tpu.models.recognizer import _conv3x3_matmul
+
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, shape[-1], cout)) * 0.1,
+                    jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = _conv3x3_matmul(x, w, stride)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_conv3x3_matmul_grads_match():
+    """VJP of the im2col formulation equals VJP of the native conv."""
+    from kiri_tpu.models.recognizer import _conv3x3_matmul
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 12, 10, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.1, jnp.float32)
+
+    def f_ours(x, w):
+        return jnp.sum(jnp.sin(_conv3x3_matmul(x, w, (2, 1))))
+
+    def f_lax(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(jnp.sin(y))
+
+    gx1, gw1 = jax.grad(f_ours, argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(f_lax, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-5, atol=1e-4)
