@@ -63,35 +63,73 @@ class TrainConfig:
     model_parallel: int = 1
     log_every: int = 50
     select_metric: str = "ctc"     # best-ckpt criterion: ctc | ar | mean
+    train_only: Optional[str] = None   # None=all | "decoder" (freeze enc+CTC)
+    dec_input_noise: float = 0.0   # P(replace a decoder-input token) — fights
+    #                                exposure bias: the AR head is trained
+    #                                teacher-forced but serves on its own
+    #                                (possibly wrong) prefix.
 
 
 # ---------------------------------------------------------------------------
 # Loss
 # ---------------------------------------------------------------------------
+#: Top-level param keys that feed ONLY the AR/beam decode path.  `mem_proj`
+#: belongs here: the CTC head reads encoder memory directly
+#: (`R.ctc_logits`), so training it cannot move the fast path.
+DECODER_PARAM_KEYS = ("mem_proj", "dec_emb", "dec_layers", "dec_ln",
+                     "dec_head", "lm_head")
+
+
 def hybrid_loss(variables: Dict[str, Any], batch: Dict[str, jnp.ndarray],
                 rng, *, cfg: CFG, dec_pad: int, ctc_weight: float,
-                dec_weight: float):
+                dec_weight: float, train_only: Optional[str] = None,
+                dec_input_noise: float = 0.0, dec_vocab: int = 0):
     """0.5*CTC + 0.5*CE with BatchNorm stat updates.
 
     batch: image [B,H,W] u8, ctc_target [B,Lc] i32, ctc_len [B] i32,
            dec_inp [B,Ld] i32 (bos..), dec_tgt [B,Ld] i32 (..eos, pad=0).
     Returns (loss, (new_batch_stats, metrics)).
+
+    ``train_only="decoder"`` runs the encoder in eval mode (running BN
+    stats, no dropout — the exact distribution the decoder sees at serve
+    time) under ``stop_gradient``, and skips the CTC loss entirely; the
+    caller is expected to freeze the matching params via
+    ``make_optimizer(..., train_only=...)``.
+
+    ``dec_input_noise`` replaces that fraction of real decoder-input tokens
+    (never pad/bos) with uniform-random characters while keeping targets
+    intact — scheduled-sampling-style exposure-bias training in one
+    teacher-forced pass.
     """
-    r_enc, r_ctc, r_dec = jax.random.split(rng, 3)
-    mem, new_stats = R.encode(variables, batch["image"], cfg, train=True, rng=r_enc)
+    r_enc, r_ctc, r_dec, r_noise = jax.random.split(rng, 4)
+    dec_only = train_only == "decoder"
+    mem, new_stats = R.encode(variables, batch["image"], cfg,
+                              train=not dec_only,
+                              rng=None if dec_only else r_enc)
+    if dec_only:
+        mem = jax.lax.stop_gradient(mem)
     b, t_mem, _ = mem.shape
 
     metrics = {}
     loss = jnp.asarray(0.0, jnp.float32)
-    if cfg.USE_CTC:
+    if cfg.USE_CTC and not dec_only:
         logits = R.ctc_logits(variables["params"], mem, cfg, train=True, rng=r_ctc)
         frame_lens = jnp.full((b,), t_mem, jnp.int32)
         l_ctc = ctc_loss(logits, frame_lens, batch["ctc_target"], batch["ctc_len"])
         loss = loss + ctc_weight * l_ctc
         metrics["ctc_loss"] = l_ctc
 
+    dec_inp = batch["dec_inp"]
+    if dec_input_noise > 0.0 and dec_vocab > 3:
+        replace = (jax.random.uniform(r_noise, dec_inp.shape) < dec_input_noise)
+        replace = replace & (dec_inp > 2)  # keep pad=0 / bos=1 / eos=2
+        rand_ids = jax.random.randint(
+            jax.random.fold_in(r_noise, 1), dec_inp.shape, 3, dec_vocab,
+            dtype=dec_inp.dtype)
+        dec_inp = jnp.where(replace, rand_ids, dec_inp)
+
     memp = R.mem_project(variables["params"], mem)
-    dec_logits = R.decoder_train_logits(variables, memp, batch["dec_inp"], cfg,
+    dec_logits = R.decoder_train_logits(variables, memp, dec_inp, cfg,
                                         train=True, rng=r_dec)
     ce = optax.softmax_cross_entropy_with_integer_labels(
         dec_logits, batch["dec_tgt"])
@@ -115,6 +153,17 @@ def make_optimizer(tc: TrainConfig, total_steps: int):
         optax.adamw(schedule, b1=tc.betas[0], b2=tc.betas[1],
                     weight_decay=tc.weight_decay),
     )
+    if tc.train_only == "decoder":
+        # Hard-freeze everything outside the AR decode path.  set_to_zero
+        # (not grad masking) so AdamW's weight decay cannot shrink frozen
+        # params either — fast/CTC outputs stay bit-identical.
+        def labels(params):
+            return {k: jax.tree.map(
+                        lambda _: "train" if k in DECODER_PARAM_KEYS
+                        else "freeze", v)
+                    for k, v in params.items()}
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, labels)
     return opt, schedule
 
 
@@ -129,12 +178,15 @@ def make_train_step(cfg: CFG, tok: CharTokenizer, optimizer,
         grad_fn = jax.value_and_grad(hybrid_loss, has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(
             variables, batch, rng, cfg=cfg, dec_pad=tok.dec_pad,
-            ctc_weight=tc.ctc_weight, dec_weight=tc.dec_weight)
+            ctc_weight=tc.ctc_weight, dec_weight=tc.dec_weight,
+            train_only=tc.train_only, dec_input_noise=tc.dec_input_noise,
+            dec_vocab=tok.dec_vocab)
         grads = grads["params"]
         updates, opt_state = optimizer.update(
             grads, opt_state, variables["params"])
         new_params = optax.apply_updates(variables["params"], updates)
-        # Merge updated BatchNorm running stats.
+        # Merge updated BatchNorm running stats (None in decoder-only mode —
+        # the frozen encoder keeps its serving statistics).
         bs = dict(variables["batch_stats"])
         if new_stats and new_stats.get("stem"):
             merged_stem = dict(bs["stem"])

@@ -83,6 +83,12 @@ def main() -> None:
                     choices=("ctc", "ar", "mean"),
                     help="best-checkpoint criterion; use ar/mean for "
                          "accurate-mode-focused continuation runs")
+    ap.add_argument("--train-only", default=None, choices=("decoder",),
+                    help="'decoder' freezes encoder+CTC (fast path stays "
+                         "bit-identical) and trains only the AR decode path")
+    ap.add_argument("--dec-input-noise", type=float, default=0.0,
+                    help="P(corrupt a decoder-input token) — exposure-bias "
+                         "regularization for the AR head")
     args = ap.parse_args()
 
     from kiri_tpu.config import CFG
@@ -128,7 +134,9 @@ def main() -> None:
                      lr=args.lr, out_dir=str(out), log_every=100,
                      save_steps=0, ctc_weight=args.ctc_weight,
                      dec_weight=args.dec_weight,
-                     select_metric=args.select_metric)
+                     select_metric=args.select_metric,
+                     train_only=args.train_only,
+                     dec_input_noise=args.dec_input_noise)
     trainer = train_loop(cfg, tok, tc, train, val, vocab_path=vocab_path,
                          from_model=args.from_model)
     print(f"Best val CTC exact-match: {trainer.best_val_acc * 100:.2f}%")

@@ -87,6 +87,73 @@ def test_train_loop_checkpoints_and_resume(tok, tmp_path):
     assert t2.step == trainer.step
 
 
+def test_decoder_only_training_freezes_fast_path(tok):
+    """train_only='decoder': encoder/CTC params and BN stats stay
+    bit-identical (so fast-mode outputs cannot move), decoder params train."""
+    import jax
+
+    from kiri_tpu.models import recognizer as R
+    from kiri_tpu.train.trainer import DECODER_PARAM_KEYS
+
+    tc = TrainConfig(epochs=1, batch_size=8, lr=3e-3, warmup_steps=2,
+                     log_every=0, train_only="decoder")
+    trainer = Trainer(CFG_TINY, tok, tc, total_steps=20, use_mesh=False)
+    before = jax.device_get(trainer.variables)
+    batch = collate(_samples(8), tok)
+    imgs = batch["image"]
+    mem_before = np.asarray(R.encode(before, imgs, CFG_TINY)[0])
+    losses = [trainer.run_step(batch)["dec_loss"] for _ in range(20)]
+    after = jax.device_get(trainer.variables)
+
+    frozen = [k for k in after["params"] if k not in DECODER_PARAM_KEYS]
+    assert frozen  # sanity: the frozen set is non-empty
+    for k in frozen:
+        for a, b in zip(jax.tree.leaves(after["params"][k]),
+                        jax.tree.leaves(before["params"][k])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(after["batch_stats"]),
+                    jax.tree.leaves(before["batch_stats"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Decoder actually trains...
+    assert losses[-1] < losses[0] * 0.9, losses[::5]
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for k in DECODER_PARAM_KEYS if k in after["params"]
+        for a, b in zip(jax.tree.leaves(after["params"][k]),
+                        jax.tree.leaves(before["params"][k])))
+    assert changed
+    # ...and the serving encoder output is bit-identical.
+    mem_after = np.asarray(R.encode(after, imgs, CFG_TINY)[0])
+    np.testing.assert_array_equal(mem_before, mem_after)
+
+
+def test_dec_input_noise_trains_and_differs(tok):
+    """Input-noise runs produce finite decreasing loss and a different
+    gradient signal than the clean run (the corruption is real)."""
+    import jax
+
+    from kiri_tpu.train.trainer import hybrid_loss
+
+    batch = {k: (np.asarray(v) if not isinstance(v, list) else v)
+             for k, v in collate(_samples(8), tok).items()}
+    variables = __import__("kiri_tpu.models.recognizer",
+                           fromlist=["init_recognizer"]).init_recognizer(
+        jax.random.PRNGKey(0), CFG_TINY, tok)
+    rng = jax.random.PRNGKey(1)
+    kw = dict(cfg=CFG_TINY, dec_pad=tok.dec_pad, ctc_weight=0.5,
+              dec_weight=0.5, dec_vocab=tok.dec_vocab)
+    l_clean, _ = hybrid_loss(variables, batch, rng, dec_input_noise=0.0, **kw)
+    l_noisy, _ = hybrid_loss(variables, batch, rng, dec_input_noise=0.5, **kw)
+    assert np.isfinite(float(l_clean)) and np.isfinite(float(l_noisy))
+    assert float(l_clean) != float(l_noisy)
+
+    tc = TrainConfig(epochs=1, batch_size=8, lr=3e-3, warmup_steps=2,
+                     log_every=0, dec_input_noise=0.15)
+    trainer = Trainer(CFG_TINY, tok, tc, total_steps=25, use_mesh=False)
+    losses = [trainer.run_step(batch)["loss"] for _ in range(25)]
+    assert losses[-1] < losses[0] * 0.8, losses[::8]
+
+
 def test_validate_exact_match(tok):
     tc = TrainConfig(epochs=1, batch_size=4, log_every=0)
     trainer = Trainer(CFG_TINY, tok, tc, total_steps=5, use_mesh=False)
