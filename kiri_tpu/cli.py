@@ -99,6 +99,16 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--dropout", type=float, default=None)
     t.add_argument("--n-devices", type=int, default=None)
     t.add_argument("--model-parallel", type=int, default=1)
+    t.add_argument("--select-metric", choices=["ctc", "ar", "mean"],
+                   default="ctc",
+                   help="best-checkpoint criterion (ar/mean for "
+                        "accurate-mode-focused runs)")
+    t.add_argument("--train-only", choices=["decoder"], default=None,
+                   help="'decoder' freezes encoder+CTC bit-exactly and "
+                        "trains only the AR decode path")
+    t.add_argument("--dec-input-noise", type=float, default=0.0,
+                   help="P(corrupt a decoder-input token) — exposure-bias "
+                        "regularization")
 
     g = sub.add_parser("generate", help="Generate synthetic line dataset")
     g.add_argument("--train-file", "-t", default=None,
@@ -283,7 +293,9 @@ def run_train(args) -> None:
         ctc_weight=merged["ctc_weight"], dec_weight=merged["dec_weight"],
         max_seq_len=merged["max_seq_len"], save_steps=merged["save_steps"],
         out_dir=str(out_dir), n_devices=args.n_devices,
-        model_parallel=args.model_parallel)
+        model_parallel=args.model_parallel,
+        select_metric=args.select_metric, train_only=args.train_only,
+        dec_input_noise=args.dec_input_noise)
 
     train_samples = [train_set[i] for i in range(len(train_set))]
     val_samples = ([val_set[i] for i in range(len(val_set))]
