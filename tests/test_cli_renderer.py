@@ -102,3 +102,29 @@ def test_renderer_khmer_overlay(tmp_path):
         str(tmp_path / "out.png"))
     arr = np.asarray(Image.open(out).convert("L"))
     assert (arr[:, 310:] < 128).sum() > 30, "no ink for Khmer overlay"
+
+def test_train_flag_plumbing(tmp_path, monkeypatch):
+    """--select-metric/--train-only/--dec-input-noise reach TrainConfig."""
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    lines = []
+    for i, text in enumerate(["ab", "ba"]):
+        Image.new("L", (80, 48), 255).save(img_dir / f"l{i}.png")
+        lines.append(f"l{i}.png\t{text}")
+    (tmp_path / "labels.txt").write_text("\n".join(lines) + "\n")
+
+    captured = {}
+
+    def fake_train_loop(cfg, tok, tc, *a, **kw):
+        captured["tc"] = tc
+
+    import kiri_tpu.train.trainer as trainer_mod
+    monkeypatch.setattr(trainer_mod, "train_loop", fake_train_loop)
+    main(["train", "--train-labels", str(tmp_path / "labels.txt"),
+          "--output-dir", str(tmp_path / "out"), "--epochs", "1",
+          "--select-metric", "ar", "--train-only", "decoder",
+          "--dec-input-noise", "0.25"])
+    tc = captured["tc"]
+    assert tc.select_metric == "ar"
+    assert tc.train_only == "decoder"
+    assert tc.dec_input_noise == 0.25
