@@ -49,8 +49,10 @@ def _build_parser() -> argparse.ArgumentParser:
                         version="kiri-tpu 0.1.0")
     sub = parser.add_subparsers(dest="command")
 
-    p = sub.add_parser("predict", help="Run OCR on an image")
-    p.add_argument("image", help="Path to document image")
+    p = sub.add_parser("predict", help="Run OCR on one or more images")
+    p.add_argument("image", nargs="+", metavar="IMAGE",
+                   help="Path(s) to document image(s); multiple images are "
+                        "recognized in one pooled device pass")
     p.add_argument("--mode", choices=["lines", "words"], default="lines")
     p.add_argument("--model", default="models/model.safetensors")
     p.add_argument("--det-model", default=None)
@@ -171,43 +173,59 @@ def run_inference(args) -> None:
                   device=args.device, verbose=args.verbose,
                   decode_method=args.decode_method)
 
+        images = args.image
         if args.stream:
-            run_streaming_inference(ocr, args, output_dir)
+            for image in images:
+                run_streaming_inference(ocr, image, args, output_dir)
             return
 
-        if not args.verbose:
-            print(f"Processing {args.image}...")
-        full_text, results = ocr.extract_text(args.image, mode=args.mode,
-                                              verbose=args.verbose)
-
-        (output_dir / "extracted_text.txt").write_text(full_text,
-                                                       encoding="utf-8")
-        (output_dir / "ocr_results.json").write_text(
-            json.dumps(results, indent=2, ensure_ascii=False),
-            encoding="utf-8")
-
-        if not args.no_render:
-            renderer = DocumentRenderer()
-            renderer.draw_boxes(args.image, results,
-                                output_path=str(output_dir / "boxes.png"))
-            renderer.draw_results(args.image, results,
-                                  output_path=str(output_dir / "ocr_result.png"))
-            renderer.create_report(args.image, results,
-                                   output_path=str(output_dir / "report.html"))
-
-        if args.verbose:
-            print("\n" + "=" * 70)
-            print("  ✅ Processing Complete!")
-            print(f"  Regions detected: {len(results)}")
-            if results:
-                avg = np.mean([r["confidence"] for r in results]) * 100
-                print(f"  Average confidence: {avg:.2f}%")
-            print(f"  Output directory: {output_dir}")
-            print("=" * 70 + "\n")
+        if len(images) == 1:
+            if not args.verbose:
+                print(f"Processing {images[0]}...")
+            doc_results = [ocr.extract_text(images[0], mode=args.mode,
+                                            verbose=args.verbose)]
         else:
-            for res in results:
-                print(res["text"])
-            print(f"\n✓ Saved results to {output_dir}")
+            # Multi-image: one pooled recognition pass over every page's
+            # regions (pipeline.process_documents) instead of per-image runs.
+            if not args.verbose:
+                print(f"Processing {len(images)} images (pooled batch)...")
+            doc_results = ocr.extract_text_batch(images, mode=args.mode,
+                                                 verbose=args.verbose)
+
+        for image, (full_text, results) in zip(images, doc_results):
+            # Single image keeps the historical flat layout; multi-image
+            # writes one subdirectory per input page.
+            doc_dir = (output_dir if len(images) == 1
+                       else output_dir / Path(image).stem)
+            doc_dir.mkdir(exist_ok=True, parents=True)
+            (doc_dir / "extracted_text.txt").write_text(full_text,
+                                                        encoding="utf-8")
+            (doc_dir / "ocr_results.json").write_text(
+                json.dumps(results, indent=2, ensure_ascii=False),
+                encoding="utf-8")
+
+            if not args.no_render:
+                renderer = DocumentRenderer()
+                renderer.draw_boxes(image, results,
+                                    output_path=str(doc_dir / "boxes.png"))
+                renderer.draw_results(image, results,
+                                      output_path=str(doc_dir / "ocr_result.png"))
+                renderer.create_report(image, results,
+                                       output_path=str(doc_dir / "report.html"))
+
+            if args.verbose:
+                print("\n" + "=" * 70)
+                print("  ✅ Processing Complete!")
+                print(f"  Regions detected: {len(results)}")
+                if results:
+                    avg = np.mean([r["confidence"] for r in results]) * 100
+                    print(f"  Average confidence: {avg:.2f}%")
+                print(f"  Output directory: {doc_dir}")
+                print("=" * 70 + "\n")
+            else:
+                for res in results:
+                    print(res["text"])
+                print(f"\n✓ Saved results to {doc_dir}")
     except Exception as e:
         print(f"\n❌ Error: {e}")
         if args.verbose:
@@ -216,12 +234,12 @@ def run_inference(args) -> None:
             traceback.print_exc()
 
 
-def run_streaming_inference(ocr, args, output_dir: Path) -> None:
+def run_streaming_inference(ocr, image, args, output_dir: Path) -> None:
     """Character streaming to stdout (reference cli.py:163-222)."""
-    print(f"Processing {args.image} (streaming)...\n")
+    print(f"Processing {image} (streaming)...\n")
     full_text_parts = []
     current_region = 0
-    for chunk in ocr.extract_text_stream_chars(args.image, mode=args.mode):
+    for chunk in ocr.extract_text_stream_chars(image, mode=args.mode):
         if chunk.get("region_start"):
             if current_region:
                 sys.stdout.write("\n")
@@ -236,6 +254,9 @@ def run_streaming_inference(ocr, args, output_dir: Path) -> None:
             full_text_parts.append(chunk.get("cumulative_text", ""))
     sys.stdout.write("\n")
     text = full_text_parts[-1] if full_text_parts else ""
+    if len(args.image) > 1:
+        output_dir = output_dir / Path(image).stem
+        output_dir.mkdir(exist_ok=True, parents=True)
     (output_dir / "extracted_text.txt").write_text(text, encoding="utf-8")
     print(f"\n✓ Saved to {output_dir / 'extracted_text.txt'}")
 

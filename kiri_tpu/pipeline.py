@@ -540,15 +540,11 @@ class OCR:
             result["cumulative_text"] = "\n".join(temp_lines)
             yield result
 
-    def extract_text(self, image_path, mode: str = "lines",
-                     verbose: bool = False) -> Tuple[str, List[Dict]]:
-        """Full-document text extraction; line grouping joins regions whose
-        vertical centers fall within 80% of max height
-        (kiri_ocr/core.py:1104-1161)."""
-        results = self.process_document(image_path, mode, verbose=verbose)
-        if not results:
-            return "", results
-
+    @staticmethod
+    def _assemble_text(results: List[Dict]) -> str:
+        """Join region texts into document text; regions whose vertical
+        centers fall within 80% of max height share a line
+        (kiri_ocr/core.py:1135-1161)."""
         lines: List[str] = []
         current_line: List[str] = []
         prev_center_y = None
@@ -569,4 +565,89 @@ class OCR:
             prev_height = h
         if current_line:
             lines.append(" ".join(current_line))
-        return "\n".join(lines), results
+        return "\n".join(lines)
+
+    def extract_text(self, image_path, mode: str = "lines",
+                     verbose: bool = False) -> Tuple[str, List[Dict]]:
+        """Full-document text extraction; line grouping joins regions whose
+        vertical centers fall within 80% of max height
+        (kiri_ocr/core.py:1104-1161)."""
+        results = self.process_document(image_path, mode, verbose=verbose)
+        if not results:
+            return "", results
+        return self._assemble_text(results), results
+
+    # ------------------------------------------------- multi-document batch
+    def process_documents(self, image_paths, mode: str = "lines",
+                          verbose: bool = False) -> List[List[Dict]]:
+        """Batched multi-page pipeline: detect each page, then recognize the
+        regions of EVERY page in one pooled width-bucketed pass.
+
+        The reference has no multi-document API — it runs one eager decode
+        per region of one page at a time (kiri_ocr/core.py:770-793). On TPU
+        the chip's throughput comes from batch size and each dispatch/fetch
+        pays a fixed link round-trip, so pooling all pages' regions into one
+        ``recognize_batch`` amortizes both across the whole stack of pages.
+        Returns one ``process_document``-style result list per input path.
+        """
+        per_doc = []            # (boxes, det_confs, n_pooled_rows)
+        pool_batches, pool_widths, pool_crops, pool_kept = [], [], [], []
+        for image_path in image_paths:
+            boxes, det_confs = self._detect_boxes(image_path, mode)
+            img_gray = self._load_gray(image_path)
+            if self.preprocess == "device":
+                crops, kept = [], []
+                for i, box in enumerate(boxes):
+                    roi = crop_region(img_gray, box, 5)
+                    if roi is None:
+                        continue
+                    crops.append(to_gray(roi))
+                    kept.append(i)
+                pool_crops.extend(crops)
+            else:
+                batch, kept, widths = preprocess_regions(
+                    self.cfg, img_gray, boxes, extra_padding=5)
+                if len(kept):
+                    pool_batches.append(batch)
+                    pool_widths.append(widths)
+            pool_kept.append(kept)
+            per_doc.append((boxes, det_confs, len(kept)))
+            if verbose:
+                print(f"🔍 {image_path}: {len(boxes)} regions")
+
+        if self.preprocess == "device":
+            recognized = self.engine.recognize_crops(pool_crops,
+                                                     self.decode_method)
+        elif pool_batches:
+            recognized = self.engine.recognize_batch(
+                np.concatenate(pool_batches),
+                self.decode_method,
+                widths=np.concatenate(pool_widths))
+        else:
+            recognized = []
+
+        all_results: List[List[Dict]] = []
+        row = 0
+        for (boxes, det_confs, n_rows), kept in zip(per_doc, pool_kept):
+            results = []
+            for bi in kept:
+                text, confidence = recognized[row]
+                row += 1
+                results.append({
+                    "box": [int(v) for v in boxes[bi]],
+                    "text": text,
+                    "confidence": float(confidence),
+                    "det_confidence": float(det_confs[bi]),
+                    "line_number": bi + 1,
+                })
+            all_results.append(results)
+        return all_results
+
+    def extract_text_batch(self, image_paths, mode: str = "lines",
+                           verbose: bool = False
+                           ) -> List[Tuple[str, List[Dict]]]:
+        """``extract_text`` over many documents with one pooled recognition
+        pass (see ``process_documents``)."""
+        return [(self._assemble_text(res) if res else "", res)
+                for res in self.process_documents(image_paths, mode,
+                                                  verbose=verbose)]

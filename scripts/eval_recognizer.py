@@ -53,6 +53,9 @@ def main() -> None:
     ap.add_argument("--khmer-ratio", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=777)
     ap.add_argument("--methods", default="fast,accurate,beam")
+    ap.add_argument("--dump-errors", default=None, metavar="DIR",
+                    help="write per-method mismatch reports (JSON + line "
+                         "images) into DIR for error analysis")
     args = ap.parse_args()
 
     from kiri_tpu.data.synth import MultilingualDatasetGenerator
@@ -97,6 +100,28 @@ def main() -> None:
                         "exact": round(float(np.mean(exact)), 4)}
         report[method] = per
         print(method, json.dumps(per))
+
+        if args.dump_errors:
+            dump_dir = Path(args.dump_errors)
+            dump_dir.mkdir(parents=True, exist_ok=True)
+            errs = []
+            for i, t in enumerate(texts):
+                hyp = unicodedata.normalize("NFC", outs[i][0])
+                if hyp == t:
+                    continue
+                errs.append({"idx": i, "script": scripts[i],
+                             "truth": t, "hyp": hyp,
+                             "cer": round(lev(t, hyp) / max(1, len(t)), 4),
+                             "conf": round(float(outs[i][1]), 4)})
+                try:
+                    from PIL import Image
+                    Image.fromarray(samples[i]["image"]).save(
+                        dump_dir / f"err_{method}_{i:04d}.png")
+                except Exception:
+                    pass
+            (dump_dir / f"errors_{method}.json").write_text(
+                json.dumps(errs, ensure_ascii=False, indent=1))
+            print(f"  {len(errs)} mismatches -> {dump_dir}/errors_{method}.json")
 
     print(json.dumps({"model": args.model, "n": args.n,
                       "khmer_ratio": args.khmer_ratio, "report": report}))

@@ -128,3 +128,49 @@ def test_train_flag_plumbing(tmp_path, monkeypatch):
     assert tc.select_metric == "ar"
     assert tc.train_only == "decoder"
     assert tc.dec_input_noise == 0.25
+
+
+def test_multi_image_predict_pooled(tmp_path, capsys):
+    """predict with several images runs one pooled pass and writes one
+    output subdirectory per page."""
+    from PIL import ImageDraw, ImageFont
+
+    from kiri_tpu.config import CFG
+    from kiri_tpu.models import recognizer as R
+    from kiri_tpu.tokenizer import CharTokenizer
+    from kiri_tpu.train.checkpoints import save_checkpoint
+    import jax
+
+    vocab = {"<unk>": 0}
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz "):
+        vocab[ch] = i + 1
+    vp = tmp_path / "vocab.json"
+    vp.write_text(json.dumps(vocab))
+    cfg = CFG(ENC_DIM=32, ENC_LAYERS=1, ENC_FF=64, ENC_HEADS=4,
+              DEC_DIM=32, DEC_LAYERS=1, DEC_FF=64, DEC_HEADS=4,
+              COMPUTE_DTYPE="float32",
+              BATCH_BUCKETS=(1, 2, 4), STEP_BUCKETS=(16, 32))
+    tok = CharTokenizer(str(vp), cfg)
+    variables = R.init_recognizer(jax.random.PRNGKey(0), cfg, tok)
+    ckpt = tmp_path / "model.safetensors"
+    save_checkpoint(ckpt, variables, cfg, vocab_path=str(vp))
+
+    font = ImageFont.truetype(
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 28)
+    paths = []
+    for i, line in enumerate(["hello world", "more text"]):
+        img = Image.new("L", (500, 90), 255)
+        ImageDraw.Draw(img).text((30, 20), line, fill=0, font=font)
+        p = tmp_path / f"page{i}.png"
+        img.save(p)
+        paths.append(str(p))
+
+    out = tmp_path / "out"
+    main(["predict", *paths, "--model", str(ckpt), "--det-method", "legacy",
+          "--decode-method", "fast", "--output", str(out), "--no-render"])
+    stdout = capsys.readouterr().out
+    assert "pooled batch" in stdout
+    for i in range(2):
+        doc_dir = out / f"page{i}"
+        assert (doc_dir / "extracted_text.txt").exists()
+        assert (doc_dir / "ocr_results.json").exists()

@@ -153,3 +153,37 @@ def test_invalid_preprocess_rejected(ckpt):
 
     with pytest.raises(ValueError, match="preprocess"):
         OCR(ckpt, preprocess="gpu")
+
+
+def test_extract_text_batch_matches_single(ocr, doc, tmp_path):
+    """The pooled multi-document pass must produce exactly what per-document
+    extract_text produces (same regions, texts, assembly) — it only changes
+    HOW the recognition is dispatched, not what it computes."""
+    font = ImageFont.truetype(FONT, 28)
+    img = Image.new("L", (700, 160), 255)
+    d = ImageDraw.Draw(img)
+    d.text((40, 20), "another page", fill=0, font=font)
+    d.text((40, 90), "with two lines", fill=0, font=font)
+    p2 = tmp_path / "doc2.png"
+    img.save(p2)
+    blank = tmp_path / "blank.png"
+    Image.new("L", (300, 200), 255).save(blank)
+
+    paths = [doc, str(p2), str(blank)]
+    batch = ocr.extract_text_batch(paths)
+    single = [ocr.extract_text(p) for p in paths]
+    assert len(batch) == 3
+    for (bt, br), (st, sr) in zip(batch, single):
+        assert bt == st
+        assert br == sr
+
+
+def test_process_documents_device_preprocess(ckpt, doc):
+    from kiri_tpu.pipeline import OCR
+
+    ocr_dev = OCR(ckpt, det_method="legacy", decode_method="fast",
+                  preprocess="device")
+    pooled = ocr_dev.process_documents([doc, doc])
+    assert len(pooled) == 2
+    assert [r["box"] for r in pooled[0]] == [r["box"] for r in pooled[1]]
+    assert [r["text"] for r in pooled[0]] == [r["text"] for r in pooled[1]]
