@@ -58,7 +58,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--det-model", default=None)
     p.add_argument("--det-method", choices=["db", "craft", "legacy"],
                    default="db")
-    p.add_argument("--decode-method", choices=["fast", "accurate", "beam"],
+    p.add_argument("--decode-method",
+                   choices=["fast", "accurate", "beam", "auto"],
                    default="accurate")
     p.add_argument("--padding", type=int, default=10)
     p.add_argument("--output", "-o", default="output")

@@ -82,6 +82,11 @@ class CFG:
     # a fraction of a full-width dispatch. Buckets wider than IMG_W are
     # ignored; IMG_W itself is always a valid bucket.
     WIDTH_BUCKETS: tuple = (160, 320, 480, 640)
+    # decode_method="auto": lines whose greedy-CTC confidence (mean
+    # per-frame max prob) reaches this threshold keep the CTC result; the
+    # rest are re-decoded with beam search on the already-encoded features.
+    # Most lines take the throughput path, hard lines get beam accuracy.
+    AUTO_CONF_THRESHOLD: float = 0.95
 
     def replace(self, **kw) -> "CFG":
         return dataclasses.replace(self, **kw)

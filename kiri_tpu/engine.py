@@ -157,7 +157,10 @@ class RecognizerEngine:
     def recognize_batch(self, imgs_u8: np.ndarray, method: str,
                         widths: Optional[np.ndarray] = None
                         ) -> List[Tuple[str, float]]:
-        """Recognize N line images. method in {"ctc", "decoder", "beam"}.
+        """Recognize N line images. method in {"ctc", "decoder", "beam",
+        "auto"} — "auto" returns greedy-CTC results for rows whose CTC
+        confidence clears cfg.AUTO_CONF_THRESHOLD and beam-search results
+        for the rest (escalated on device from the shared encode).
 
         With ``widths`` (per-row content widths from preprocess_regions) the
         batch is split into width buckets (cfg.WIDTH_BUCKETS) and each group
@@ -208,6 +211,37 @@ class RecognizerEngine:
                 for i, t, c in zip(idxs, texts, conf_np[:m]):
                     out[i] = (t, float(c))
             return out  # type: ignore[return-value]
+        if method == "auto":
+            # CTC results for everything (one fused fetch), then beam
+            # escalation launched per chunk on the low-confidence subset —
+            # all launches enqueued before the single result fetch.
+            fetched = jax.device_get(
+                [(ids, conf, est)
+                 for _, (_, _, ids, conf, est, _) in pending])
+            launched = []
+            for (idxs, (memp, ctc, ids, conf, est, m)), \
+                    (ids_np, conf_np, est_np) in zip(pending, fetched):
+                texts = self.tok.decode_ctc_batch(ids_np[:m])
+                for i, t, c in zip(idxs, texts, conf_np[:m]):
+                    out[i] = (t, float(c))
+                esc = self._launch_escalation(memp, ctc, conf_np[:m],
+                                              est_np[:m], m)
+                if esc is not None:
+                    low, dec = esc
+                    launched.append(([idxs[r] for r in low], len(low), dec))
+            fetched2 = jax.device_get(
+                [(d.tokens, d.lengths, d.final_conf)
+                 for _, _, d in launched])
+            for (idxs, m, _), (tokens, lengths, final_conf) in zip(
+                    launched, fetched2):
+                for row, i in enumerate(idxs):
+                    tok_ids = tokens[row, 1: lengths[row]]
+                    eos_pos = np.nonzero(tok_ids == self.tok.dec_eos)[0]
+                    if eos_pos.size:
+                        tok_ids = tok_ids[: eos_pos[0]]
+                    out[i] = (self.tok.decode_dec(tok_ids),
+                              float(final_conf[row]))
+            return out  # type: ignore[return-value]
         # Beam/greedy: pipeline the chunks like the CTC path. One fused
         # fetch of every chunk's length estimates, then ALL decode
         # while_loops enqueued back-to-back, then one fused result fetch —
@@ -239,6 +273,40 @@ class RecognizerEngine:
                           float(final_conf[row]))
         return out  # type: ignore[return-value]
 
+    def _launch_escalation(self, memp, ctc, conf_np, est_np, m: int):
+        """decode_method="auto" support: pick the rows of an encoded chunk
+        whose greedy-CTC confidence is below cfg.AUTO_CONF_THRESHOLD and
+        launch beam search on just those rows, gathered ON DEVICE from the
+        already-computed encoder outputs (no re-encode, no re-upload).
+        Returns (low_row_indices, DecodeOut) or None if every row is
+        confident. The fetch is the caller's job so launches can pipeline.
+        """
+        low = [r for r in range(m)
+               if conf_np[r] < self.cfg.AUTO_CONF_THRESHOLD]
+        if not low:
+            return None
+        sel = np.asarray(low, np.int32)
+        b2 = D.pick_batch_bucket(self.cfg, len(low))
+        sel_pad = np.concatenate(
+            [sel, np.zeros(b2 - len(low), np.int32)])
+        sel_dev = jnp.asarray(sel_pad)
+        memp2 = jnp.take(memp, sel_dev, axis=0)
+        ctc2 = jnp.take(ctc, sel_dev, axis=0) if ctc is not None else None
+        est_sel = np.asarray(est_np)[sel]
+        l_cap = self._step_cap(est_sel, len(low), memp.shape[1])
+        tl = jnp.asarray(np.concatenate(
+            [np.where(est_sel > 0, est_sel, 0),
+             np.zeros(b2 - len(low), est_sel.dtype)]), jnp.int32)
+        conf2 = jnp.asarray(np.concatenate(
+            [np.asarray(conf_np)[sel],
+             np.zeros(b2 - len(low), np.asarray(conf_np).dtype)]))
+        dec = D.beam_search(
+            self.variables, memp2, ctc2, tl, conf2, cfg=self.cfg,
+            k_beam=self.cfg.BEAM, l_cap=l_cap, eos_id=self.tok.dec_eos,
+            unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+            dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
+        return low, dec
+
     def _finish(self, memp, ctc, ids, conf, est, n: int, method: str
                 ) -> List[Tuple[str, float]]:
         if method == "ctc":
@@ -247,6 +315,20 @@ class RecognizerEngine:
             ids_np, conf_np = jax.device_get((ids, conf))
             texts = self.tok.decode_ctc_batch(ids_np[:n])
             return list(zip(texts, conf_np[:n].astype(float)))
+
+        if method == "auto":
+            ids_np, conf_np, est_np = jax.device_get((ids, conf, est))
+            texts = self.tok.decode_ctc_batch(ids_np[:n])
+            results = list(zip(texts, conf_np[:n].astype(float)))
+            esc = self._launch_escalation(memp, ctc, conf_np[:n],
+                                          est_np[:n], n)
+            if esc is None:
+                return results
+            low, dec = esc
+            beam_texts, beam_conf, _ = self._decode_texts(dec, len(low))
+            for r, i in enumerate(low):
+                results[i] = (beam_texts[r], float(beam_conf[r]))
+            return results
 
         k = 1 if method == "decoder" else self.cfg.BEAM
         l_cap = self._step_cap(est, n, memp.shape[1])
@@ -278,6 +360,11 @@ class RecognizerEngine:
         imgs_u8 = np.asarray(imgs_u8)
         if imgs_u8.shape[0] == 0:
             return []
+        if method == "auto":
+            # Streaming emits tokens as they decode; auto's after-the-fact
+            # beam escalation cannot retract streamed chars, so the stream
+            # uses the CTC path (batch entry points get the escalation).
+            method = "ctc"
         memp, ctc, ids, conf, est, n = self.encode_batch(imgs_u8)
 
         if method == "ctc":

@@ -102,12 +102,14 @@ class OCR:
     @staticmethod
     def _normalize_decode_method(method: str) -> str:
         method = method.lower().strip()
+        # "auto" is a TPU-only addition (no reference equivalent): greedy
+        # CTC for confident lines, beam escalation for the rest (engine.py).
         aliases = {"fast": "ctc", "ctc": "ctc", "accurate": "decoder",
-                   "decoder": "decoder", "beam": "beam"}
+                   "decoder": "decoder", "beam": "beam", "auto": "auto"}
         if method not in aliases:
             raise ValueError(
                 f"Invalid decode_method '{method}'. Choose from: 'fast', "
-                f"'accurate', 'beam' (or aliases: 'ctc', 'decoder')")
+                f"'accurate', 'beam', 'auto' (or aliases: 'ctc', 'decoder')")
         return aliases[method]
 
     def _resolve_model_path(self, model_path: str) -> str:

@@ -1,0 +1,81 @@
+"""Pooled multi-document throughput: extract_text_batch vs per-document.
+
+Generates N synthetic documents and measures wall-clock for (a) the classic
+per-document ``extract_text`` loop and (b) the pooled
+``extract_text_batch`` pass that recognizes every page's regions in one
+width-bucketed device dispatch cycle. Asserts both produce identical text so
+the speedup is an apples-to-apples dispatch/transfer win.
+
+Usage: python scripts/bench_batch_docs.py [--docs 20] [--decode fast]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="models/model.safetensors")
+    ap.add_argument("--docs", type=int, default=20)
+    ap.add_argument("--decode", default="fast",
+                    choices=["fast", "accurate", "beam"])
+    ap.add_argument("--khmer-ratio", type=float, default=0.3)
+    ap.add_argument("--seed", type=int, default=12000)
+    args = ap.parse_args()
+
+    from PIL import Image
+
+    from kiri_tpu.data.docsynth import DocumentGenerator
+    from kiri_tpu.pipeline import OCR
+
+    tmp = Path(tempfile.mkdtemp(prefix="kiri_batchdocs_"))
+    paths = []
+    for i in range(args.docs):
+        gen = DocumentGenerator(640, 640, seed=args.seed + i,
+                                khmer_ratio=args.khmer_ratio)
+        doc = gen.generate()
+        p = tmp / f"doc_{i:04d}.png"
+        Image.fromarray(doc["image"]).save(p)
+        paths.append(str(p))
+
+    ocr = OCR(args.model, det_method="db", decode_method=args.decode)
+    # Warmup both paths so every bucket program is compiled before timing.
+    ocr.extract_text_batch(paths)
+    for p in paths:
+        ocr.extract_text(p)
+
+    t0 = time.perf_counter()
+    pooled = ocr.extract_text_batch(paths)
+    t_pooled = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sequential = [ocr.extract_text(p) for p in paths]
+    t_seq = time.perf_counter() - t0
+
+    assert [t for t, _ in pooled] == [t for t, _ in sequential], \
+        "pooled text differs from per-document text"
+    n_lines = sum(len(r) for _, r in pooled)
+
+    print(json.dumps({
+        "decode_method": args.decode,
+        "docs": args.docs,
+        "lines": n_lines,
+        "pooled_docs_per_sec": round(args.docs / t_pooled, 2),
+        "sequential_docs_per_sec": round(args.docs / t_seq, 2),
+        "pooled_lines_per_sec": round(n_lines / t_pooled, 2),
+        "sequential_lines_per_sec": round(n_lines / t_seq, 2),
+        "speedup": round(t_seq / t_pooled, 2),
+        "khmer_ratio": args.khmer_ratio,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -130,3 +130,56 @@ def test_recognize_batch_width_bucketed(engine_wide, method):
     solo = engine_wide.recognize_batch(
         np.ascontiguousarray(imgs[:1, :, :80]), method)
     assert bucketed[0][0] == solo[0][0]
+
+
+def _with_threshold(engine, thr):
+    """Engine view with a different AUTO_CONF_THRESHOLD (CFG is frozen)."""
+    import copy
+
+    e = copy.copy(engine)
+    e.cfg = engine.cfg.replace(AUTO_CONF_THRESHOLD=thr)
+    return e
+
+
+def test_auto_escalates_everything_matches_beam(engine, imgs):
+    """Threshold above any possible confidence -> every row beam-decoded."""
+    auto = _with_threshold(engine, 1.01).recognize_batch(imgs, "auto")
+    beam = engine.recognize_batch(imgs, "beam")
+    assert [t for t, _ in auto] == [t for t, _ in beam]
+    for (ta, ca), (tb, cb) in zip(auto, beam):
+        assert abs(ca - cb) < 1e-3
+
+
+def test_auto_escalates_nothing_matches_ctc(engine, imgs):
+    auto = _with_threshold(engine, 0.0).recognize_batch(imgs, "auto")
+    ctc = engine.recognize_batch(imgs, "ctc")
+    assert auto == ctc
+
+
+def test_auto_width_bucketed_matches_extremes(engine_wide):
+    rng = np.random.default_rng(1)
+    imgs = np.full((4, 48, 320), 128, np.uint8)
+    content_w = [60, 150, 320, 100]
+    for i, wc in enumerate(content_w):
+        imgs[i, :, :wc] = rng.integers(0, 255, (48, wc), dtype=np.uint8)
+    widths = np.asarray(content_w, np.int32)
+    hi = _with_threshold(engine_wide, 1.01)
+    lo = _with_threshold(engine_wide, 0.0)
+    assert ([t for t, _ in hi.recognize_batch(imgs, "auto", widths=widths)]
+            == [t for t, _ in engine_wide.recognize_batch(imgs, "beam",
+                                                          widths=widths)])
+    assert (lo.recognize_batch(imgs, "auto", widths=widths)
+            == engine_wide.recognize_batch(imgs, "ctc", widths=widths))
+
+
+def test_auto_partial_escalation_mixes_paths(engine, imgs):
+    """A mid-range threshold keeps confident rows on CTC and escalates the
+    rest — verify against a hand-merged reference result."""
+    ctc = engine.recognize_batch(imgs, "ctc")
+    beam = engine.recognize_batch(imgs, "beam")
+    confs = [c for _, c in ctc]
+    thr = sorted(confs)[len(confs) // 2] + 1e-6  # escalate about half
+    auto = _with_threshold(engine, thr).recognize_batch(imgs, "auto")
+    expect = [beam[i] if confs[i] < thr else ctc[i]
+              for i in range(len(ctc))]
+    assert [t for t, _ in auto] == [t for t, _ in expect]

@@ -187,3 +187,14 @@ def test_process_documents_device_preprocess(ckpt, doc):
     assert len(pooled) == 2
     assert [r["box"] for r in pooled[0]] == [r["box"] for r in pooled[1]]
     assert [r["text"] for r in pooled[0]] == [r["text"] for r in pooled[1]]
+
+
+def test_auto_decode_method_end_to_end(ckpt, doc):
+    from kiri_tpu.pipeline import OCR
+
+    ocr_auto = OCR(ckpt, det_method="legacy", decode_method="auto")
+    results = ocr_auto.process_document(doc)
+    assert len(results) == 3
+    # Streaming under auto uses the CTC path (documented degradation).
+    chunks = list(ocr_auto.extract_text_stream_chars(doc))
+    assert chunks[-1]["document_finished"]
