@@ -53,7 +53,7 @@ def main() -> None:
     ap.add_argument("--model", default="models/model.safetensors")
     ap.add_argument("--lines-per-font", type=int, default=100)
     ap.add_argument("--decode", default="fast",
-                    choices=["fast", "accurate", "beam"])
+                    choices=["fast", "accurate", "beam", "auto"])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--output-dir", default="benchmark")
     ap.add_argument("--latency-samples", type=int, default=30,

@@ -29,7 +29,7 @@ def main() -> None:
     ap.add_argument("--model", default="models/model.safetensors")
     ap.add_argument("--docs", type=int, default=20)
     ap.add_argument("--decode", default="fast",
-                    choices=["fast", "accurate", "beam"])
+                    choices=["fast", "accurate", "beam", "auto"])
     ap.add_argument("--khmer-ratio", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=9000)
     args = ap.parse_args()
