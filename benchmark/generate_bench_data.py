@@ -1,131 +1,123 @@
-"""Standalone benchmark-dataset generator (reference parity tool).
+"""Standalone benchmark-dataset generator.
 
-Mirrors the reference's benchmark/generate_bench_data.py:12-142 surface:
-pick a benchmark font set, select/sample a line-text corpus, and render one
-line-image dataset PER FONT under benchmark/data/<font>/ with labels.txt —
-so the benchmark harness (run_benchmark.py) and third parties can consume
-the data without regenerating it inline.
+Role parity with the reference's benchmark/generate_bench_data.py:12-142,
+which (1) collects a font pool, (2) samples benchmark text lines, and
+(3) renders a per-font line-image dataset to disk for the benchmark runner.
+Here the font pool comes from FontManager discovery (English TTFs plus the
+Khmer pool — real Khmer TTFs when present on the host, else the deterministic
+pseudo-glyph fallback), and the dataset is written as
 
-TPU-repo differences: fonts are discovered from the system font pool (plus
-the deterministic Khmer pseudo-font when no Khmer TTF exists) instead of a
-hardcoded 10-font list, and text is synthesized by data/synth.py samplers
-when no --text-file corpus is given.
+    <out>/<font-stem>/NNNN.png  +  <out>/<font-stem>/labels.json
+    <out>/manifest.json         (font -> script/count/dir)
+
+`run_benchmark.py --data-dir <out>` consumes this layout instead of
+generating inline, so the dataset can be produced once, inspected, and
+reused across decode modes for strictly comparable CER rows.
 
 Usage:
-  python benchmark/generate_bench_data.py [--lines 100] [--text-file f.txt]
-      [--output-dir benchmark/data] [--height 48] [--seed 0]
+    python benchmark/generate_bench_data.py [--out benchmark/data]
+        [--lines-per-font 100] [--en-fonts 6] [--km-fonts 4] [--seed 42]
 """
 from __future__ import annotations
 
 import argparse
+import json
 import random
-import shutil
 import sys
 from pathlib import Path
 
-REPO = Path(__file__).resolve().parents[1]
+import numpy as np
+from PIL import Image
+
+REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from kiri_tpu.data.synth import (FontManager, ImageRenderer, _is_khmer,
-                                 sample_khmer_text, sample_text)
+# This tool never needs an accelerator; pin JAX to CPU before any kiri_tpu
+# import so a data-generation run can't steal the device grant from a
+# concurrent training job (setting JAX_PLATFORMS alone can be overridden
+# by platform plugins).
+import jax  # noqa: E402
 
-
-def create_benchmark_text(input_file: str, output_file: Path, count: int,
-                          seed: int) -> list:
-    """Reservoir-sample ``count`` lines from a corpus file
-    (reference: generate_bench_data.py:52-79)."""
-    rng = random.Random(seed)
-    selected: list = []
-    with open(input_file, "r", encoding="utf-8") as f:
-        for i, line in enumerate(f):
-            line = line.strip()
-            if not line:
-                continue
-            if len(selected) < count:
-                selected.append(line)
-            else:
-                j = rng.randint(0, i)
-                if j < count:
-                    selected[j] = line
-    output_file.write_text("\n".join(selected), encoding="utf-8")
-    return selected
-
-
-def synthesize_text(count: int, seed: int, output_file: Path) -> list:
-    """No corpus available: sample English and Khmer lines 50/50."""
-    rng = random.Random(seed)
-    lines = []
-    for i in range(count):
-        if i % 2 == 0:
-            lines.append(sample_text(rng, 2, 8))
-        else:
-            lines.append(sample_khmer_text(rng, 1, 5))
-    output_file.write_text("\n".join(lines), encoding="utf-8")
-    return lines
+jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--lines", type=int, default=100,
-                    help="text lines rendered per font")
-    ap.add_argument("--text-file", default=None,
-                    help="corpus to reservoir-sample from (default: "
-                         "synthesize with data/synth.py samplers)")
-    ap.add_argument("--output-dir", default=str(REPO / "benchmark" / "data"))
-    ap.add_argument("--height", type=int, default=48)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--max-fonts", type=int, default=10)
+    ap.add_argument("--out", default="benchmark/data")
+    ap.add_argument("--lines-per-font", type=int, default=100)
+    ap.add_argument("--en-fonts", type=int, default=6)
+    ap.add_argument("--km-fonts", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--height", type=int, default=None,
+                    help="render height (default: CFG.IMG_H)")
+    ap.add_argument("--charset-model", default="models/model.safetensors",
+                    help="restrict sampled text to this model's charset "
+                         "(pass '' to disable)")
     args = ap.parse_args()
 
-    out_base = Path(args.output_dir)
-    if out_base.exists():
-        shutil.rmtree(out_base)
-    out_base.mkdir(parents=True)
+    from kiri_tpu.config import CFG
+    from kiri_tpu.data.synth import (FontManager, ImageRenderer,
+                                     sample_khmer_text, sample_text)
+
+    height = args.height or CFG.IMG_H
+    charset = None
+    if args.charset_model:
+        model_path = Path(args.charset_model)
+        if model_path.exists():
+            from kiri_tpu.tokenizer import CharTokenizer
+            from kiri_tpu.train.checkpoints import find_vocab_file
+            vocab = find_vocab_file("", str(model_path))
+            if vocab:
+                tok = CharTokenizer(vocab)
+                charset = set(t for t in tok.token_to_id if len(t) == 1)
 
     fonts = FontManager()
-    pool = list(dict.fromkeys(
-        (fonts.english_fonts or []) + (fonts.khmer_fonts or [])))[: args.max_fonts]
-    if not pool:
-        print("Error: no usable fonts discovered")
-        sys.exit(1)
-    print(f"Benchmark font set ({len(pool)}):")
-    for p in pool:
-        print(f"  {Path(p).name}")
-
-    text_path = out_base / "bench_text.txt"
-    if args.text_file:
-        lines = create_benchmark_text(args.text_file, text_path,
-                                      args.lines, args.seed)
-    else:
-        lines = synthesize_text(args.lines, args.seed, text_path)
-    print(f"{len(lines)} benchmark lines -> {text_path}")
-
-    renderer = ImageRenderer(height=args.height, augment=False)
+    renderer = ImageRenderer(height=height, augment=False)
     rng = random.Random(args.seed)
-    from PIL import Image
 
-    for font_path in pool:
-        name = Path(font_path).stem.replace(" ", "_").replace(".", "_")
-        font_dir = out_base / name
-        (font_dir / "images").mkdir(parents=True)
-        font = fonts.get(font_path, 32)
-        khmer_ok = font_path in fonts.khmer_fonts
-        n = 0
-        with (font_dir / "labels.txt").open("w", encoding="utf-8") as f:
-            for text in lines:
-                if _is_khmer(text) and not khmer_ok:
-                    continue  # font cannot shape this line
-                try:
-                    img = renderer.render(text, font, rng)
-                except Exception:
-                    continue
-                fname = f"img_{n:06d}.png"
-                Image.fromarray(img).save(font_dir / "images" / fname)
-                f.write(f"{fname}\t{text}\n")
-                n += 1
-        print(f"  {name}: {n} lines")
+    en_pool = (fonts.english_fonts or fonts.font_paths)[: args.en_fonts]
+    kh_pool = fonts.khmer_fonts[: args.km_fonts]
+    jobs = [(p, "en") for p in en_pool] + [(p, "km") for p in kh_pool]
+    if not jobs:
+        print("No fonts discovered; nothing to generate.")
+        sys.exit(1)
 
-    print(f"Benchmark data generation complete -> {out_base}")
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    manifest = {}
+    for font_path, script in jobs:
+        name = Path(font_path).stem
+        font_dir = out / name
+        font_dir.mkdir(exist_ok=True)
+        labels = {}
+        n_written = 0
+        attempts = 0
+        while n_written < args.lines_per_font and attempts < args.lines_per_font * 3:
+            attempts += 1
+            text = (sample_khmer_text(rng, 2, 5) if script == "km"
+                    else sample_text(rng, 2, 8))
+            if charset is not None:
+                text = "".join(c for c in text if c in charset)
+            if not text.strip():
+                continue
+            try:
+                font = fonts.get(font_path, 32)
+                img = renderer.render(text, font, rng)
+            except Exception:
+                continue
+            fname = f"{n_written:04d}.png"
+            Image.fromarray(np.asarray(img, np.uint8)).save(font_dir / fname)
+            labels[fname] = text
+            n_written += 1
+        (font_dir / "labels.json").write_text(
+            json.dumps(labels, ensure_ascii=False, indent=1))
+        manifest[name] = {"script": script, "count": n_written,
+                          "dir": str(font_dir.relative_to(out))}
+        print(f"  {name:40s} {script}  {n_written} lines")
+
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    total = sum(v["count"] for v in manifest.values())
+    print(f"✓ {total} lines across {len(manifest)} fonts -> {out}/")
 
 
 if __name__ == "__main__":

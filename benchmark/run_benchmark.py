@@ -56,6 +56,10 @@ def main() -> None:
                     choices=["fast", "accurate", "beam", "auto"])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--output-dir", default="benchmark")
+    ap.add_argument("--data-dir", default=None,
+                    help="pre-generated dataset from generate_bench_data.py; "
+                         "when set, lines are loaded from disk instead of "
+                         "rendered inline")
     ap.add_argument("--latency-samples", type=int, default=30,
                     help="batch-1 dispatches for the p50 latency row")
     args = ap.parse_args()
@@ -90,18 +94,41 @@ def main() -> None:
             text = sample_text(rng, 2, 8)
         return "".join(c for c in text if c in charset) or "a"
 
+    # Dataset rows: (name, script, raw line images, ground-truth texts) —
+    # either loaded from a generate_bench_data.py run (--data-dir) or
+    # rendered inline.
+    rows = []
+    if args.data_dir:
+        from PIL import Image
+        data_dir = Path(args.data_dir)
+        manifest = json.loads((data_dir / "manifest.json").read_text())
+        for name, info in manifest.items():
+            labels = json.loads(
+                (data_dir / info["dir"] / "labels.json").read_text())
+            texts, raws = [], []
+            for fname, text in sorted(labels.items()):
+                raws.append(np.asarray(
+                    Image.open(data_dir / info["dir"] / fname).convert("L"),
+                    np.uint8))
+                texts.append(text)
+            rows.append((name, info["script"], raws, texts))
+    else:
+        for font_path, script in jobs:
+            texts, raws = [], []
+            for _ in range(args.lines_per_font):
+                text = _sample(script)
+                try:
+                    font = fonts.get(font_path, 32)
+                    raws.append(renderer.render(text, font, rng))
+                except Exception:
+                    continue
+                texts.append(text)
+            rows.append((Path(font_path).stem, script, raws, texts))
+
     per_font = {}
-    for font_path, script in jobs:
-        name = Path(font_path).stem
-        texts, imgs, widths = [], [], []
-        for _ in range(args.lines_per_font):
-            text = _sample(script)
-            try:
-                font = fonts.get(font_path, 32)
-                img = renderer.render(text, font, rng)
-            except Exception:
-                continue
-            texts.append(text)
+    for name, script, raws, texts in rows:
+        imgs, widths = [], []
+        for img in raws:
             widths.append(content_width(img.shape, cfg.IMG_H, cfg.IMG_W))
             imgs.append(resize_keep_ratio_pad_np(img, cfg.IMG_H, cfg.IMG_W))
         if not imgs:
