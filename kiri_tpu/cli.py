@@ -145,6 +145,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="fraction of training docs degraded with a "
                          "robustness condition (rotation/noise/texture/"
                          "low-contrast)")
+    td.add_argument("--aug-weights", default=None,
+                    help="comma-separated condition=weight pairs biasing "
+                         "which condition --aug-conditions applies, e.g. "
+                         "'rotated=3' (unlisted conditions weigh 1.0)")
     td.add_argument("--from-model", default=None,
                     help="warm-start detector weights (.safetensors)")
 
@@ -357,7 +361,19 @@ def run_generate_detector(args) -> None:
     print(f"✓ Detector dataset -> {out}")
 
 
+def _parse_aug_weights(spec):
+    """'rotated=3,noisy=1.5' -> {'rotated': 3.0, 'noisy': 1.5} (None if '')."""
+    if not spec:
+        return None
+    out = {}
+    for part in spec.split(","):
+        name, _, val = part.partition("=")
+        out[name.strip()] = float(val)
+    return out
+
+
 def run_train_detector(args) -> None:
+    aug_weights = _parse_aug_weights(args.aug_weights)
     if args.detector == "db":
         from .detect.db.train import DBTrainConfig, train_db
 
@@ -366,6 +382,7 @@ def run_train_detector(args) -> None:
                            pool_size=args.pool_size,
                            khmer_ratio=args.khmer_ratio,
                            aug_conditions=args.aug_conditions,
+                           aug_weights=aug_weights,
                            out_dir=args.output_dir or "checkpoints_db")
         if args.lr:
             tc.lr = args.lr
@@ -383,6 +400,7 @@ def run_train_detector(args) -> None:
                               pool_size=args.pool_size,
                               khmer_ratio=args.khmer_ratio,
                               aug_conditions=args.aug_conditions,
+                              aug_weights=aug_weights,
                               out_dir=args.output_dir or "checkpoints_craft")
         if args.lr:
             tc.lr = args.lr

@@ -37,6 +37,8 @@ class CRAFTTrainConfig:
     # Probability of degrading a doc with a robustness condition (GT maps
     # are rasterized AFTER the transform, so boxes stay consistent).
     aug_conditions: float = 0.0
+    # Optional per-condition sampling weights (see db.train.pick_condition).
+    aug_weights: Optional[Dict[str, float]] = None
 
 
 def craft_loss(variables, batch):
@@ -54,8 +56,11 @@ _TRAIN_CONDITIONS = ("rotated", "noisy", "textured", "low_contrast")
 
 
 def make_batch(gen: DocumentGenerator, batch_size: int, size: int,
-               aug_conditions: float = 0.0) -> Dict[str, np.ndarray]:
+               aug_conditions: float = 0.0,
+               aug_weights: Optional[Dict[str, float]] = None,
+               ) -> Dict[str, np.ndarray]:
     from ...data.docsynth import apply_condition
+    from ..db.train import pick_condition
 
     half = size // 2
     imgs = np.zeros((batch_size, size, size, 1), np.float32)
@@ -64,7 +69,7 @@ def make_batch(gen: DocumentGenerator, batch_size: int, size: int,
     for i in range(batch_size):
         doc = gen.generate()
         if aug_conditions and gen.rng.random() < aug_conditions:
-            doc = apply_condition(doc, gen.rng.choice(_TRAIN_CONDITIONS),
+            doc = apply_condition(doc, pick_condition(gen.rng, aug_weights),
                                   gen.rng)
         img = doc["image"].astype(np.float32)
         imgs[i, :, :, 0] = (img / 255.0 - 0.5) / 0.5
@@ -108,7 +113,7 @@ def train_craft(tc: CRAFTTrainConfig, verbose: bool = True,
             print(f"Pre-generating {tc.pool_size} documents...")
         for _ in range((tc.pool_size + tc.batch_size - 1) // tc.batch_size):
             pool.append(make_batch(gen, tc.batch_size, tc.image_size,
-                                   tc.aug_conditions))
+                                   tc.aug_conditions, tc.aug_weights))
     nprng = np.random.default_rng(tc.seed)
 
     out = Path(tc.out_dir)
@@ -118,7 +123,7 @@ def train_craft(tc: CRAFTTrainConfig, verbose: bool = True,
     for step in range(tc.steps):
         batch = (pool[int(nprng.integers(len(pool)))] if pool
                  else make_batch(gen, tc.batch_size, tc.image_size,
-                                 tc.aug_conditions))
+                                 tc.aug_conditions, tc.aug_weights))
         variables, opt_state, metrics = step_jit(variables, opt_state, batch)
         loss = float(metrics["loss"])
         if verbose and tc.log_every and (step + 1) % tc.log_every == 0:

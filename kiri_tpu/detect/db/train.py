@@ -55,6 +55,9 @@ class DBTrainConfig:
     # image). Round-3 eval showed the clean-trained net drops to 0.81-0.86
     # recall under rotation/low-contrast — see scripts/eval_detector.py.
     aug_conditions: float = 0.0
+    # Optional per-condition sampling weights (name -> weight, default 1.0
+    # each); lets a continuation over-sample a weak condition (e.g. rotated).
+    aug_weights: Optional[Dict[str, float]] = None
 
 
 def db_loss(variables, batch, *, k: float, alpha: float, beta: float,
@@ -117,8 +120,18 @@ _TRAIN_CONDITIONS = ("rotated", "noisy", "textured", "low_contrast")
 # (invert-if-dark in DBDetector.detect / CRAFT predict_maps).
 
 
+def pick_condition(rng, weights: Optional[Dict[str, float]] = None) -> str:
+    """Sample a training condition, optionally weighted (uniform default)."""
+    if weights:
+        w = [float(weights.get(c, 1.0)) for c in _TRAIN_CONDITIONS]
+        return rng.choices(_TRAIN_CONDITIONS, weights=w)[0]
+    return rng.choice(_TRAIN_CONDITIONS)
+
+
 def make_batch(gen: DocumentGenerator, batch_size: int,
-               size: int, aug_conditions: float = 0.0) -> Dict[str, np.ndarray]:
+               size: int, aug_conditions: float = 0.0,
+               aug_weights: Optional[Dict[str, float]] = None,
+               ) -> Dict[str, np.ndarray]:
     from ...data.docsynth import apply_condition
 
     imgs = np.zeros((batch_size, size, size, 1), np.float32)
@@ -128,7 +141,7 @@ def make_batch(gen: DocumentGenerator, batch_size: int,
     for i in range(batch_size):
         doc = gen.generate()
         if aug_conditions and gen.rng.random() < aug_conditions:
-            doc = apply_condition(doc, gen.rng.choice(_TRAIN_CONDITIONS),
+            doc = apply_condition(doc, pick_condition(gen.rng, aug_weights),
                                   gen.rng)
         img = doc["image"].astype(np.float32)
         imgs[i, :, :, 0] = (img / 255.0 - 0.5) / 0.5
@@ -163,7 +176,7 @@ def train_db(tc: DBTrainConfig, verbose: bool = True,
             print(f"Pre-generating {tc.pool_size} documents...")
         for _ in range((tc.pool_size + tc.batch_size - 1) // tc.batch_size):
             pool.append(make_batch(gen, tc.batch_size, tc.image_size,
-                                   tc.aug_conditions))
+                                   tc.aug_conditions, tc.aug_weights))
     nprng = np.random.default_rng(tc.seed)
 
     out = Path(tc.out_dir)
@@ -175,7 +188,7 @@ def train_db(tc: DBTrainConfig, verbose: bool = True,
             batch = pool[int(nprng.integers(len(pool)))]
         else:
             batch = make_batch(gen, tc.batch_size, tc.image_size,
-                               tc.aug_conditions)
+                               tc.aug_conditions, tc.aug_weights)
         rng, sub = jax.random.split(rng)
         variables, opt_state, metrics = step_fn(variables, opt_state,
                                                 batch, sub)

@@ -130,6 +130,40 @@ def test_train_flag_plumbing(tmp_path, monkeypatch):
     assert tc.dec_input_noise == 0.25
 
 
+def test_detector_aug_weights_plumbing(monkeypatch, tmp_path):
+    """--aug-weights parses into DBTrainConfig.aug_weights."""
+    captured = {}
+
+    import kiri_tpu.detect.db.train as db_train
+
+    def fake_train_db(tc, verbose=True, variables=None):
+        captured["tc"] = tc
+        return {}
+
+    monkeypatch.setattr(db_train, "train_db", fake_train_db)
+    main(["train-detector", "--detector", "db", "--steps", "1",
+          "--output-dir", str(tmp_path), "--aug-conditions", "0.5",
+          "--aug-weights", "rotated=3,noisy=0.5"])
+    tc = captured["tc"]
+    assert tc.aug_conditions == 0.5
+    assert tc.aug_weights == {"rotated": 3.0, "noisy": 0.5}
+
+
+def test_pick_condition_weighting():
+    """Weighted sampling over-samples the biased condition."""
+    import random
+
+    from kiri_tpu.detect.db.train import pick_condition
+
+    rng = random.Random(0)
+    picks = [pick_condition(rng, {"rotated": 9.0}) for _ in range(600)]
+    frac = picks.count("rotated") / len(picks)
+    assert frac > 0.6, frac  # expected 9/12 = 0.75
+    rng = random.Random(0)
+    uni = [pick_condition(rng) for _ in range(600)]
+    assert 0.15 < uni.count("rotated") / len(uni) < 0.35
+
+
 def test_multi_image_predict_pooled(tmp_path, capsys):
     """predict with several images runs one pooled pass and writes one
     output subdirectory per page."""
