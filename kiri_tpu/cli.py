@@ -149,6 +149,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="comma-separated condition=weight pairs biasing "
                          "which condition --aug-conditions applies, e.g. "
                          "'rotated=3' (unlisted conditions weigh 1.0)")
+    td.add_argument("--scale-aug", type=float, default=0.0,
+                    help="(craft) fraction of docs rendered small and "
+                         "upscaled to image-size, matching the serving "
+                         "canvas/mag_ratio magnification")
     td.add_argument("--from-model", default=None,
                     help="warm-start detector weights (.safetensors)")
 
@@ -401,6 +405,7 @@ def run_train_detector(args) -> None:
                               khmer_ratio=args.khmer_ratio,
                               aug_conditions=args.aug_conditions,
                               aug_weights=aug_weights,
+                              scale_aug=args.scale_aug,
                               out_dir=args.output_dir or "checkpoints_craft")
         if args.lr:
             tc.lr = args.lr

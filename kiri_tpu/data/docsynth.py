@@ -108,6 +108,34 @@ def apply_condition(doc: Dict[str, object], condition: str,
     return out_doc
 
 
+def rescale_doc(doc: Dict[str, object], target_h: int,
+                target_w: int) -> Dict[str, object]:
+    """Bilinearly rescale a document and its line/char boxes.
+
+    Used for multi-scale detector training: serving paths that magnify the
+    input (CRAFT's canvas/mag_ratio resize, detector/craft/model.py-style)
+    otherwise present text at scales the trainer never rasterized, which a
+    fine-tune can silently overfit against.
+    """
+    img = np.asarray(doc["image"], np.uint8)
+    h, w = img.shape[:2]
+    if (h, w) == (target_h, target_w):
+        return dict(doc)
+    fy, fx = target_h / h, target_w / w
+    pil = Image.fromarray(img).resize((target_w, target_h), Image.BILINEAR)
+
+    def scale_box(b):
+        x, y, bw, bh = b
+        return (int(round(x * fx)), int(round(y * fy)),
+                max(1, int(round(bw * fx))), max(1, int(round(bh * fy))))
+
+    out = dict(doc)
+    out.update(image=np.asarray(pil, np.uint8),
+               lines=[scale_box(b) for b in doc["lines"]],
+               chars=[[scale_box(b) for b in row] for row in doc["chars"]])
+    return out
+
+
 class DocumentGenerator:
     """Renders synthetic documents and their detection ground truth."""
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,13 @@ class CRAFTTrainConfig:
     aug_conditions: float = 0.0
     # Optional per-condition sampling weights (see db.train.pick_condition).
     aug_weights: Optional[Dict[str, float]] = None
+    # Probability of drawing a doc rendered small and upscaled to image_size,
+    # matching the serving path's canvas/mag_ratio magnification (predict_maps
+    # upscales inputs ~1.5-2x; a fine-tune that only ever sees native-scale
+    # glyphs degrades exactly there). Scale factors sampled from
+    # scale_aug_factors.
+    scale_aug: float = 0.0
+    scale_aug_factors: Tuple[float, ...] = (1.5, 2.0)
 
 
 def craft_loss(variables, batch):
@@ -58,8 +65,10 @@ _TRAIN_CONDITIONS = ("rotated", "noisy", "textured", "low_contrast")
 def make_batch(gen: DocumentGenerator, batch_size: int, size: int,
                aug_conditions: float = 0.0,
                aug_weights: Optional[Dict[str, float]] = None,
+               scale_aug: float = 0.0,
+               scale_gens: Optional[List[DocumentGenerator]] = None,
                ) -> Dict[str, np.ndarray]:
-    from ...data.docsynth import apply_condition
+    from ...data.docsynth import apply_condition, rescale_doc
     from ..db.train import pick_condition
 
     half = size // 2
@@ -67,10 +76,20 @@ def make_batch(gen: DocumentGenerator, batch_size: int, size: int,
     regions = np.zeros((batch_size, half, half), np.float32)
     affs = np.zeros((batch_size, half, half), np.float32)
     for i in range(batch_size):
-        doc = gen.generate()
-        if aug_conditions and gen.rng.random() < aug_conditions:
-            doc = apply_condition(doc, pick_condition(gen.rng, aug_weights),
-                                  gen.rng)
+        if scale_aug and scale_gens and gen.rng.random() < scale_aug:
+            # Render small, degrade at native scale (as a real capture
+            # would be), THEN upscale — the order the serving path sees.
+            small = scale_gens[gen.rng.randrange(len(scale_gens))]
+            doc = small.generate()
+            if aug_conditions and gen.rng.random() < aug_conditions:
+                doc = apply_condition(
+                    doc, pick_condition(gen.rng, aug_weights), gen.rng)
+            doc = rescale_doc(doc, size, size)
+        else:
+            doc = gen.generate()
+            if aug_conditions and gen.rng.random() < aug_conditions:
+                doc = apply_condition(
+                    doc, pick_condition(gen.rng, aug_weights), gen.rng)
         img = doc["image"].astype(np.float32)
         imgs[i, :, :, 0] = (img / 255.0 - 0.5) / 0.5
         region, aff = craft_ground_truth(doc["image"].shape, doc["chars"])
@@ -85,6 +104,14 @@ def train_craft(tc: CRAFTTrainConfig, verbose: bool = True,
 
     gen = DocumentGenerator(tc.image_size, tc.image_size, seed=tc.seed,
                             khmer_ratio=tc.khmer_ratio)
+    scale_gens = None
+    if tc.scale_aug:
+        scale_gens = [
+            DocumentGenerator(int(round(tc.image_size / f)),
+                              int(round(tc.image_size / f)),
+                              seed=tc.seed + 17 * i, fonts=gen.fonts,
+                              khmer_ratio=tc.khmer_ratio)
+            for i, f in enumerate(tc.scale_aug_factors, 1)]
     if variables is None:
         variables = init_craft_net(jax.random.PRNGKey(tc.seed))
     if verbose:
@@ -113,7 +140,8 @@ def train_craft(tc: CRAFTTrainConfig, verbose: bool = True,
             print(f"Pre-generating {tc.pool_size} documents...")
         for _ in range((tc.pool_size + tc.batch_size - 1) // tc.batch_size):
             pool.append(make_batch(gen, tc.batch_size, tc.image_size,
-                                   tc.aug_conditions, tc.aug_weights))
+                                   tc.aug_conditions, tc.aug_weights,
+                                   tc.scale_aug, scale_gens))
     nprng = np.random.default_rng(tc.seed)
 
     out = Path(tc.out_dir)
@@ -123,7 +151,8 @@ def train_craft(tc: CRAFTTrainConfig, verbose: bool = True,
     for step in range(tc.steps):
         batch = (pool[int(nprng.integers(len(pool)))] if pool
                  else make_batch(gen, tc.batch_size, tc.image_size,
-                                 tc.aug_conditions, tc.aug_weights))
+                                 tc.aug_conditions, tc.aug_weights,
+                                 tc.scale_aug, scale_gens))
         variables, opt_state, metrics = step_jit(variables, opt_state, batch)
         loss = float(metrics["loss"])
         if verbose and tc.log_every and (step + 1) % tc.log_every == 0:

@@ -60,3 +60,39 @@ def test_forced_layout():
 def test_unknown_condition_raises(doc):
     with pytest.raises(ValueError):
         apply_condition(doc, "underwater", random.Random(0))
+
+
+def test_rescale_doc_scales_image_and_boxes(doc):
+    from kiri_tpu.data.docsynth import rescale_doc
+
+    h, w = doc["image"].shape
+    out = rescale_doc(doc, h * 2, w * 2)
+    assert out["image"].shape == (h * 2, w * 2)
+    assert len(out["lines"]) == len(doc["lines"])
+    for (x, y, bw, bh), (x2, y2, bw2, bh2) in zip(doc["lines"], out["lines"]):
+        assert abs(x2 - 2 * x) <= 1 and abs(y2 - 2 * y) <= 1
+        assert abs(bw2 - 2 * bw) <= 1 and abs(bh2 - 2 * bh) <= 1
+    # Ink stays inside the scaled line boxes: each scaled box region must
+    # contain dark pixels where the original did.
+    for (x, y, bw, bh) in out["lines"][:5]:
+        crop = out["image"][y:y + bh, x:x + bw]
+        assert crop.size and crop.min() < 200
+
+
+def test_craft_scale_aug_batch():
+    """make_batch with scale_aug produces valid GT at the upscaled size."""
+    import numpy as np
+
+    from kiri_tpu.data.docsynth import DocumentGenerator
+    from kiri_tpu.detect.craft.train import make_batch
+
+    size = 256
+    gen = DocumentGenerator(size, size, seed=3)
+    scale_gens = [DocumentGenerator(size // 2, size // 2, seed=4,
+                                    fonts=gen.fonts)]
+    batch = make_batch(gen, 4, size, aug_conditions=0.5,
+                       scale_aug=1.0, scale_gens=scale_gens)
+    assert batch["image"].shape == (4, size, size, 1)
+    assert batch["region_gt"].shape == (4, size // 2, size // 2)
+    assert float(batch["region_gt"].max()) > 0.5
+    assert np.isfinite(batch["image"]).all()
