@@ -219,6 +219,28 @@ def test_trained_db_detector_e2e():
     assert all(0.3 <= c <= 1.0 for _, c in results)
 
 
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("models/craft.safetensors").exists(),
+    reason="trained CRAFT checkpoint not present")
+def test_trained_craft_serving_scale_recall():
+    """Guard against serving-scale collapse: the committed CRAFT checkpoint
+    must keep finding lines through the PRODUCT path (facade -> canvas 1280 /
+    mag_ratio 1.5 upscale), not just at training-native 640px. A fine-tune
+    that only ever saw native-scale glyphs once silently dropped from 100
+    raw quads to 1 exactly here."""
+    from kiri_tpu.detect import TextDetector
+
+    det = TextDetector(method="craft", model_path="models/craft.safetensors")
+    gen = DocumentGenerator(640, 640, seed=654)
+    doc = gen.generate()
+    boxes = det.detect_lines_objects(doc["image"])
+    hit = sum(1 for (x, y, w, h) in doc["lines"]
+              if any(b.x <= x + w / 2 <= b.x + b.width
+                     and b.y <= y + h / 2 <= b.y + b.height
+                     for b in boxes))
+    assert hit >= 0.9 * len(doc["lines"]), (hit, len(doc["lines"]))
+
+
 def test_hub_fallback_repo_id(tmp_path, monkeypatch):
     """Repo-id model paths route through the hub download (reference:
     kiri_ocr/detector/__init__.py:82-107), falling back to legacy offline."""
