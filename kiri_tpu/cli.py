@@ -68,6 +68,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument("--stream", action="store_true",
                    help="LLM-style character streaming output")
+    p.add_argument("--deskew", action="store_true",
+                   help="Straighten skewed pages before detection "
+                        "(projection-profile estimate, detect/deskew.py)")
 
     t = sub.add_parser("train", help="Train the recognizer")
     t.add_argument("--config", help="YAML or JSON config file")
@@ -180,7 +183,8 @@ def run_inference(args) -> None:
         ocr = OCR(model_path=args.model, det_model_path=args.det_model,
                   det_method=args.det_method, padding=args.padding,
                   device=args.device, verbose=args.verbose,
-                  decode_method=args.decode_method)
+                  decode_method=args.decode_method,
+                  deskew=getattr(args, "deskew", False))
 
         images = args.image
         if args.stream:

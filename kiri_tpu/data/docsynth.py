@@ -52,8 +52,10 @@ def apply_condition(doc: Dict[str, object], condition: str,
                                           expand=False, fillcolor=bg)
         img = np.asarray(pil, np.uint8)
         h, w = img.shape
-        # PIL rotates CCW for positive angles about the center; image-coord
-        # transform of content points is rotation by +angle (y down).
+        # PIL.rotate(+a) content transform about the center, y-down coords:
+        # p' = (x cos a + y sin a, -x sin a + y cos a) — verified against a
+        # rendered dot; the naive "+a rotation matrix" has the wrong sign
+        # and smears GT boxes off the ink by 2a (tests/test_docsynth_conditions.py).
         th = np.deg2rad(angle)
         c, s = np.cos(th), np.sin(th)
         cx, cy = (w - 1) / 2, (h - 1) / 2
@@ -62,7 +64,7 @@ def apply_condition(doc: Dict[str, object], condition: str,
             x, y, bw, bh = b
             pts = np.array([[x, y], [x + bw, y], [x, y + bh],
                             [x + bw, y + bh]], float) - (cx, cy)
-            pts = pts @ np.array([[c, s], [-s, c]]) + (cx, cy)
+            pts = pts @ np.array([[c, -s], [s, c]]) + (cx, cy)
             x0, y0 = pts.min(0)
             x1, y1 = pts.max(0)
             return (int(round(x0)), int(round(y0)),

@@ -34,6 +34,15 @@ class TextDetector:
 
     def __init__(self, method: str = "db", model_path: Optional[str] = None, **kwargs):
         self.conf_threshold = kwargs.pop("conf_threshold", 0.25)
+        #: Straighten skewed pages before detection (detect/deskew.py) and
+        #: map boxes back to the input frame. Off by default to match the
+        #: reference surface; `last_skew_angle` records the estimate.
+        self.deskew = kwargs.pop("deskew", False)
+        #: Angles below this are left alone: the trained detectors absorb
+        #: sub-degree skew, and estimator noise on busy upright pages can
+        #: reach ~0.5deg (measured: deskewing those cost english-row recall).
+        self.deskew_min_angle = kwargs.pop("deskew_min_angle", 1.0)
+        self.last_skew_angle = 0.0
         self.method = method
         self.kwargs = kwargs
         self.craft_detector = None
@@ -138,6 +147,24 @@ class TextDetector:
         return [b.bbox for b in self.detect_lines_objects(image)]
 
     def detect_lines_objects(self, image) -> List[TextBox]:
+        if self.deskew:
+            img = self.legacy_detector._load_image(image)
+            if img is not None:
+                from .deskew import boxes_to_original, estimate_skew, rotate_image
+                angle = estimate_skew(img)
+                self.last_skew_angle = angle
+                if abs(angle) >= self.deskew_min_angle:
+                    boxes = self._detect_lines_upright(rotate_image(img, -angle))
+                    mapped = boxes_to_original(
+                        [(b.x, b.y, b.width, b.height) for b in boxes],
+                        angle, img.shape[:2])
+                    return [TextBox(x, y, w, h, confidence=b.confidence,
+                                    level=b.level)
+                            for b, (x, y, w, h) in zip(boxes, mapped)
+                            if w > 0 and h > 0]
+        return self._detect_lines_upright(image)
+
+    def _detect_lines_upright(self, image) -> List[TextBox]:
         if self.method == "craft" and self.craft_detector:
             try:
                 detected = self.craft_detector.detect_text(image)

@@ -1,0 +1,150 @@
+"""Global page deskew: projection-profile skew estimation + rotation helpers.
+
+The trained DB/CRAFT detectors absorb small rotations, but steeply skewed
+pages (2-6 degrees) cost recall on short lines whose axis-aligned boxes
+smear across neighbours. The reference has no deskew stage (its DB head
+emits `cv2.minAreaRect` quads, reference detector/db/model.py:163,391, and
+otherwise relies on trained invariance); production document OCR normally
+straightens the page first. This module is that stage: estimate the global
+text-line angle from the horizontal projection profile, rotate the page
+upright for detection/recognition, and map boxes back to the input frame.
+
+Everything here is host-side numpy/PIL on a downscaled binarized view —
+it runs once per page in well under a millisecond of useful work and keeps
+the TPU path (detector forward) operating on upright text.
+
+Angle convention matches `PIL.Image.rotate` (and docsynth's `rotated`
+condition, data/docsynth.py:48-71): `estimate_skew` returns the angle `a`
+such that the page content looks like an upright page passed through
+`Image.rotate(a)`; `Image.rotate(-a)` (== `rotate_image(img, -a)`)
+straightens it.
+
+Scope: the facade applies deskew on the line-detection path
+(`TextDetector.detect_lines_objects`); word/char/block detection goes
+straight to the legacy backend un-deskewed.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+__all__ = ["estimate_skew", "rotate_image", "boxes_to_original"]
+
+
+def _ink_coords(img: np.ndarray, max_side: int = 1200,
+                max_px: int = 60_000) -> Tuple[np.ndarray, np.ndarray]:
+    """(x, y) coordinates of ink pixels on a downscaled view.
+
+    Polarity-agnostic: ink is whichever side of the robust mid-threshold is
+    the minority, so inverted (light-on-dark) pages work unchanged.
+    """
+    h, w = img.shape[:2]
+    k = max(1, int(np.ceil(max(h, w) / max_side)))
+    small = img[::k, ::k]
+    lo, hi = np.percentile(small, (5, 95))
+    thr = (float(lo) + float(hi)) / 2.0
+    dark = small < thr
+    ink = dark if dark.mean() <= 0.5 else ~dark
+    ys, xs = np.nonzero(ink)
+    if xs.size > max_px:
+        sel = np.linspace(0, xs.size - 1, max_px).astype(np.int64)
+        xs, ys = xs[sel], ys[sel]
+    return xs.astype(np.float32), ys.astype(np.float32)
+
+
+def _profile_score(xs: np.ndarray, ys: np.ndarray, angle_deg: float) -> float:
+    """Sharpness of the horizontal projection profile after un-rotating by
+    `angle_deg`: high when text rows align into tight bands."""
+    th = np.deg2rad(angle_deg)
+    # Inverse of the PIL.rotate(a) content transform
+    # p' = (x c + y s, -x s + y c): y_orig = x*sin(th) + y*cos(th).
+    y0 = xs * np.sin(th) + ys * np.cos(th)
+    rows = np.round(y0 - y0.min()).astype(np.int64)
+    prof = np.bincount(rows).astype(np.float64)
+    return float(np.var(prof))
+
+
+def _search(xs: np.ndarray, ys: np.ndarray, max_angle: float,
+            coarse_step: float, fine_step: float) -> float:
+    if xs.size < 64:
+        return 0.0
+    coarse = np.arange(-max_angle, max_angle + 1e-6, coarse_step)
+    best = coarse[int(np.argmax([_profile_score(xs, ys, a) for a in coarse]))]
+    fine = np.arange(best - coarse_step, best + coarse_step + 1e-6, fine_step)
+    return float(fine[int(np.argmax([_profile_score(xs, ys, a) for a in fine]))])
+
+
+def estimate_skew(img, max_angle: float = 8.0, coarse_step: float = 0.5,
+                  fine_step: float = 0.05, max_trusted: float = 6.0,
+                  half_tol: float = 0.75, min_gain: float = 1.15) -> float:
+    """Estimate the global skew angle of a document image, in degrees.
+
+    Coarse-to-fine 1-D search over the projection-profile variance, then
+    three false-positive gates (all measured failure modes on upright
+    synthetic pages; tests/test_deskew.py):
+    - |angle| <= `max_trusted`: plausible scan skew only. A sparse 5-line
+      page can genuinely score best at ~8deg by overlapping rows.
+    - left/right half-page estimates agree within `half_tol` deg: a true
+      global rotation is spatially consistent; two-column pages with
+      unaligned rows are not.
+    - profile score at the angle >= `min_gain` x the upright score: real
+      skew sharpens the projection profile severalfold.
+    Returns the angle in `PIL.Image.rotate` convention (module docstring);
+    0.0 for blank pages or when any gate fails.
+    """
+    img = np.asarray(img)
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    xs, ys = _ink_coords(img)
+    best = _search(xs, ys, max_angle, coarse_step, fine_step)
+    if best == 0.0 or abs(best) > max_trusted:
+        return 0.0
+    if _profile_score(xs, ys, best) < min_gain * _profile_score(xs, ys, 0.0):
+        return 0.0
+    mid = np.median(xs)
+    left = xs < mid
+    a_l = _search(xs[left], ys[left], max_angle, coarse_step, fine_step)
+    a_r = _search(xs[~left], ys[~left], max_angle, coarse_step, fine_step)
+    if abs(a_l - best) > half_tol or abs(a_r - best) > half_tol:
+        return 0.0
+    return best
+
+
+def rotate_image(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate a uint8 image about its center (PIL semantics, expand=False),
+    filling the revealed corners with the median background level."""
+    img = np.asarray(img, np.uint8)
+    if abs(angle_deg) < 1e-6:
+        return img
+    bg = int(np.median(img))
+    fill = bg if img.ndim == 2 else tuple([bg] * img.shape[2])
+    pil = Image.fromarray(img).rotate(angle_deg, resample=Image.BILINEAR,
+                                      expand=False, fillcolor=fill)
+    return np.asarray(pil, np.uint8)
+
+
+def boxes_to_original(boxes: Sequence[Tuple[float, float, float, float]],
+                      angle_deg: float,
+                      shape: Tuple[int, int]) -> List[Tuple[int, int, int, int]]:
+    """Map (x, y, w, h) boxes found on `rotate_image(img, -angle)` back to
+    the input frame, as the axis-aligned hull of the rotated corners,
+    clipped to the image."""
+    h, w = shape[:2]
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    out: List[Tuple[int, int, int, int]] = []
+    for (x, y, bw, bh) in boxes:
+        pts = np.array([[x, y], [x + bw, y], [x, y + bh], [x + bw, y + bh]],
+                       np.float64) - (cx, cy)
+        # Forward PIL.rotate(angle) content transform (docsynth rot_box,
+        # data/docsynth.py:59-71): p' = (x c + y s, -x s + y c).
+        pts = pts @ np.array([[c, -s], [s, c]]) + (cx, cy)
+        x0, y0 = pts.min(axis=0)
+        x1, y1 = pts.max(axis=0)
+        x0, y0 = max(0, int(round(x0))), max(0, int(round(y0)))
+        x1, y1 = min(w, int(round(x1))), min(h, int(round(y1)))
+        out.append((x0, y0, max(0, x1 - x0), max(0, y1 - y0)))
+    return out

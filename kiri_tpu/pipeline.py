@@ -60,6 +60,7 @@ class OCR:
         use_beam_search: Optional[bool] = None,  # deprecated
         use_fp16: Optional[bool] = None,
         preprocess: str = "host",
+        deskew: bool = False,
     ):
         if preprocess not in ("host", "device"):
             raise ValueError(
@@ -85,6 +86,9 @@ class OCR:
         self.det_model_path = det_model_path
         self.det_method = det_method
         self.det_conf_threshold = det_conf_threshold
+        #: Straighten skewed pages inside the detector (detect/deskew.py);
+        #: boxes are mapped back to input-frame coordinates.
+        self.deskew = deskew
         self.decode_method = decode_method
         self.use_fp16 = use_fp16
         self.use_beam_search = decode_method == "beam"
@@ -202,7 +206,8 @@ class OCR:
             self._detector = TextDetector(
                 method=self.det_method,
                 model_path=self.det_model_path,
-                conf_threshold=self.det_conf_threshold)
+                conf_threshold=self.det_conf_threshold,
+                deskew=self.deskew)
         return self._detector
 
     # ------------------------------------------------------------ recognition
@@ -248,6 +253,10 @@ class OCR:
         return self.recognize_region(preprocess_np(self.cfg, img))
 
     def _load_gray(self, image_path) -> np.ndarray:
+        if isinstance(image_path, np.ndarray):
+            # In-memory page (every document entry point accepts arrays,
+            # like the detector facade does).
+            return to_gray(image_path)
         img = cv2.imread(str(image_path))
         if img is None:
             raise ValueError(f"Could not load image: {image_path}")

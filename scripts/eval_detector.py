@@ -47,6 +47,8 @@ def main() -> None:
     ap.add_argument("--model", default=None)
     ap.add_argument("--n", type=int, default=24)
     ap.add_argument("--seed", type=int, default=5000)
+    ap.add_argument("--deskew", action="store_true",
+                    help="enable the facade's projection-profile deskew")
     args = ap.parse_args()
 
     from kiri_tpu.data.docsynth import DocumentGenerator
@@ -58,7 +60,8 @@ def main() -> None:
     default_model = ("models/detector.safetensors" if args.detector == "db"
                      else "models/craft.safetensors")
     det = TextDetector(method=args.detector,
-                       model_path=args.model or default_model)
+                       model_path=args.model or default_model,
+                       deskew=args.deskew)
 
     def detect(img):
         return [np.asarray([[b.x, b.y], [b.x + b.width, b.y + b.height]])
@@ -113,7 +116,8 @@ def main() -> None:
 
     total_docs = sum(v["n_docs"] for v in report.values())
     worst = min(report.items(), key=lambda kv: kv[1]["recall"])
-    print(json.dumps({"detector": args.detector, "total_docs": total_docs,
+    print(json.dumps({"detector": args.detector, "deskew": args.deskew,
+                      "total_docs": total_docs,
                       "worst_condition": {worst[0]: worst[1]["recall"]},
                       "report": report}))
 

@@ -1,0 +1,119 @@
+"""End-to-end pipeline accuracy: synthetic pages -> OCR.process_document ->
+line-matched CER against the generator's ground-truth texts.
+
+This is the product metric the component evals (eval_recognizer: crops only,
+eval_detector: boxes only) don't cover: detection, cropping, preprocessing,
+recognition, and reading-order assembly all in one measurement, per
+robustness condition. A GT line is matched to the detected result whose box
+covers its center; unmatched GT lines count their full length as errors, so
+end2end_cer is bounded below by (1 - recall).
+
+Usage:
+  python scripts/eval_pipeline.py [--n 6] [--conditions clean,rotated]
+      [--decode fast|accurate|beam|auto] [--deskew] [--model ...]
+Prints one JSON line per condition plus a summary line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=6, help="docs per condition")
+    ap.add_argument("--conditions", default="clean,rotated",
+                    help="comma list from docsynth CONDITIONS")
+    ap.add_argument("--decode", default="fast",
+                    choices=("fast", "accurate", "beam", "auto"))
+    ap.add_argument("--deskew", action="store_true")
+    ap.add_argument("--model", default="models/model.safetensors")
+    ap.add_argument("--det-model", default=None)
+    ap.add_argument("--detector", default="db", choices=("db", "craft", "legacy"))
+    ap.add_argument("--khmer-ratio", type=float, default=0.4)
+    ap.add_argument("--seed", type=int, default=7000)
+    args = ap.parse_args()
+
+    from kiri_tpu import OCR
+    from kiri_tpu.data.docsynth import DocumentGenerator, apply_condition
+
+    ocr = OCR(model_path=args.model, det_model_path=args.det_model,
+              det_method=args.detector, decode_method=args.decode,
+              deskew=args.deskew)
+
+    summary = {}
+    for cond in args.conditions.split(","):
+        cond = cond.strip()
+        rng = random.Random(args.seed + hash(cond) % 1000)
+        matched_err = matched_len = missed_len = 0
+        doc_err = doc_len = 0
+        n_gt = n_matched = 0
+        for i in range(args.n):
+            gen = DocumentGenerator(640, 640, seed=args.seed + 13 * i,
+                                    khmer_ratio=args.khmer_ratio)
+            doc = gen.generate()
+            if cond != "clean":
+                doc = apply_condition(doc, cond, rng)
+            img = np.asarray(doc["image"], np.uint8)
+            results = ocr.process_document(img)
+            # Document-level CER: full reading-order transcript vs GT. This
+            # is robust to line fragmentation/merging (only ordering and
+            # whitespace cost), the standard whole-page OCR metric.
+            gt_doc = "\n".join(doc["texts"])
+            hyp_doc = "\n".join(r["text"] for r in results)
+            doc_err += _lev(hyp_doc, gt_doc)
+            doc_len += len(gt_doc)
+            for (gx, gy, gw, gh), gt_text in zip(doc["lines"], doc["texts"]):
+                n_gt += 1
+                cx, cy = gx + gw / 2, gy + gh / 2
+                hyp = None
+                for r in results:
+                    x, y, w, h = r["box"]
+                    if x <= cx <= x + w and y <= cy <= y + h:
+                        # Of several covering boxes keep the tightest fit.
+                        if hyp is None or w * h < hyp[1]:
+                            hyp = (r["text"], w * h)
+                if hyp is None:
+                    missed_len += len(gt_text)
+                    continue
+                n_matched += 1
+                matched_err += _lev(hyp[0], gt_text)
+                matched_len += len(gt_text)
+        row = {
+            "condition": cond, "docs": args.n, "gt_lines": n_gt,
+            "line_recall": round(n_matched / max(1, n_gt), 4),
+            "doc_cer": round(doc_err / max(1, doc_len), 4),
+            "matched_cer": round(matched_err / max(1, matched_len), 4),
+            "end2end_cer": round((matched_err + missed_len)
+                                 / max(1, matched_len + missed_len), 4),
+        }
+        summary[cond] = row
+        print(json.dumps(row))
+
+    print(json.dumps({"decode": args.decode, "detector": args.detector,
+                      "deskew": args.deskew, "summary": summary}))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,25 @@ def test_bare_image_implicit_predict(tmp_path, capsys):
     assert ("Error" in out) or ("Saved results" in out)
 
 
+def test_predict_deskew_plumbing(tmp_path, monkeypatch):
+    """--deskew reaches the OCR constructor (pipeline->detector facade)."""
+    import kiri_tpu.pipeline as pipeline_mod
+
+    seen = {}
+
+    class FakeOCR:
+        def __init__(self, **kw):
+            seen.update(kw)
+            raise RuntimeError("stop here")
+
+    monkeypatch.setattr(pipeline_mod, "OCR", FakeOCR)
+    img = tmp_path / "x.png"
+    Image.new("L", (100, 50), 255).save(img)
+    main(["predict", str(img), "--deskew", "--det-method", "legacy",
+          "--output", str(tmp_path / "out"), "--no-render"])
+    assert seen.get("deskew") is True
+
+
 def test_renderer_outputs(tmp_path):
     img_path = tmp_path / "doc.png"
     Image.new("RGB", (200, 100), (255, 255, 255)).save(img_path)

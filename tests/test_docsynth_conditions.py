@@ -42,6 +42,21 @@ def test_rotation_keeps_text_inside_rotated_boxes(doc):
     assert inside > 0.99, inside
 
 
+def test_rotation_each_box_anchored_to_ink(doc):
+    """Per-box (not union-of-boxes) check: every rotated line box must
+    itself contain ink. The union test above is forgiving — a GT transform
+    with the wrong rotation sign still lands inside NEIGHBORING lines'
+    padded union (which is how the original sign bug slipped through)."""
+    rng = random.Random(7)
+    out = apply_condition(doc, "rotated", rng)
+    img = np.asarray(out["image"])
+    for (x, y, w, h) in out["lines"]:
+        crop = img[max(0, y):y + h, max(0, x):x + w]
+        assert crop.size
+        dark_frac = float((crop < 100).mean())
+        assert dark_frac > 0.02, (x, y, w, h, dark_frac)
+
+
 def test_inverted_flips_polarity(doc):
     out = apply_condition(doc, "inverted", random.Random(0))
     assert float(out["image"].mean()) < 128 < float(doc["image"].mean())
