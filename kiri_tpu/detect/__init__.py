@@ -43,6 +43,8 @@ class TextDetector:
         #: reach ~0.5deg (measured: deskewing those cost english-row recall).
         self.deskew_min_angle = kwargs.pop("deskew_min_angle", 1.0)
         self.last_skew_angle = 0.0
+        self.last_deskewed_image = None   # set per-page when deskew fires
+        self.last_deskew_boxes = None     # deskewed-frame twins of the result
         self.method = method
         self.kwargs = kwargs
         self.craft_detector = None
@@ -147,6 +149,11 @@ class TextDetector:
         return [b.bbox for b in self.detect_lines_objects(image)]
 
     def detect_lines_objects(self, image) -> List[TextBox]:
+        # Reset per-page deskew state: consumers (pipeline._recognize_regions)
+        # crop from last_deskewed_image when it is set, so stale state from a
+        # previous page must never leak into this one.
+        self.last_deskewed_image = None
+        self.last_deskew_boxes = None
         if self.deskew:
             img = self.legacy_detector._load_image(image)
             if img is not None:
@@ -154,14 +161,22 @@ class TextDetector:
                 angle = estimate_skew(img)
                 self.last_skew_angle = angle
                 if abs(angle) >= self.deskew_min_angle:
-                    boxes = self._detect_lines_upright(rotate_image(img, -angle))
+                    desk = rotate_image(img, -angle)
+                    boxes = self._detect_lines_upright(desk)
                     mapped = boxes_to_original(
                         [(b.x, b.y, b.width, b.height) for b in boxes],
                         angle, img.shape[:2])
+                    pairs = [(b, m) for b, m in zip(boxes, mapped)
+                             if m[2] > 0 and m[3] > 0]
+                    # Recognition must crop UPRIGHT text: keep the deskewed
+                    # page and its frame's boxes (1:1 with the returned,
+                    # input-frame boxes) for downstream croppers — a 2-6 deg
+                    # skewed crop costs the recognizer ~60x CER.
+                    self.last_deskewed_image = desk
+                    self.last_deskew_boxes = [b for b, _ in pairs]
                     return [TextBox(x, y, w, h, confidence=b.confidence,
                                     level=b.level)
-                            for b, (x, y, w, h) in zip(boxes, mapped)
-                            if w > 0 and h > 0]
+                            for b, (x, y, w, h) in pairs]
         return self._detect_lines_upright(image)
 
     def _detect_lines_upright(self, image) -> List[TextBox]:
@@ -269,6 +284,11 @@ class TextDetector:
 
     # ------------------------------------------------------- other levels
     def detect_words(self, image):
+        # No deskew on word/char/block paths; clear per-page state so a
+        # previous line-detection's deskewed frame can't be mistaken for
+        # this call's output by downstream croppers.
+        self.last_deskewed_image = None
+        self.last_deskew_boxes = None
         return self.legacy_detector.detect_words(image)
 
     def detect_blocks(self, image):

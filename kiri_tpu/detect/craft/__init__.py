@@ -221,9 +221,14 @@ class CRAFTDetector:
             scaled = pts * (2.0 / ratio)
             xs = np.clip(scaled[:, 0], 0, gray.shape[1])
             ys = np.clip(scaled[:, 1], 0, gray.shape[0])
-            ix0, iy0 = int(quad[:, 0].min()), int(quad[:, 1].min())
-            ix1, iy1 = int(quad[:, 0].max()) + 1, int(quad[:, 1].max()) + 1
-            conf = float(region[iy0:iy1, ix0:ix1].max()) if ix1 > ix0 else 1.0
+            # min_area_rect corners can fall slightly outside the map on
+            # rotated pages; clip BOTH axes (a negative iy0 would python-
+            # wrap the slice to empty and .max() on it throws).
+            ix0, iy0 = max(0, int(quad[:, 0].min())), max(0, int(quad[:, 1].min()))
+            ix1 = min(region.shape[1], int(quad[:, 0].max()) + 1)
+            iy1 = min(region.shape[0], int(quad[:, 1].max()) + 1)
+            conf = (float(region[iy0:iy1, ix0:ix1].max())
+                    if (ix1 > ix0 and iy1 > iy0) else 1.0)
             results.append((np.stack([xs, ys], axis=1).astype(np.float32),
                             conf))
         return results

@@ -78,17 +78,19 @@ def _search(xs: np.ndarray, ys: np.ndarray, max_angle: float,
 
 def estimate_skew(img, max_angle: float = 8.0, coarse_step: float = 0.5,
                   fine_step: float = 0.05, max_trusted: float = 6.0,
-                  half_tol: float = 0.75, min_gain: float = 1.15) -> float:
+                  half_tol: float = 0.75, min_gain: float = 1.10) -> float:
     """Estimate the global skew angle of a document image, in degrees.
 
-    Coarse-to-fine 1-D search over the projection-profile variance, then
-    three false-positive gates (all measured failure modes on upright
-    synthetic pages; tests/test_deskew.py):
+    Primary signal: independent coarse-to-fine projection-profile searches
+    on the LEFT and RIGHT halves of the ink. A true global rotation is
+    spatially consistent, so the halves must agree within `half_tol` deg —
+    this both rejects upright two-column pages with unaligned rows and
+    survives rotated multi-column pages where a FULL-page search aliases to
+    a column-interleave harmonic (both measured failure modes;
+    tests/test_deskew.py). The agreed angle is then refined on the full ink
+    and passed through two more gates:
     - |angle| <= `max_trusted`: plausible scan skew only. A sparse 5-line
       page can genuinely score best at ~8deg by overlapping rows.
-    - left/right half-page estimates agree within `half_tol` deg: a true
-      global rotation is spatially consistent; two-column pages with
-      unaligned rows are not.
     - profile score at the angle >= `min_gain` x the upright score: real
       skew sharpens the projection profile severalfold.
     Returns the angle in `PIL.Image.rotate` convention (module docstring);
@@ -98,16 +100,26 @@ def estimate_skew(img, max_angle: float = 8.0, coarse_step: float = 0.5,
     if img.ndim == 3:
         img = img.mean(axis=2)
     xs, ys = _ink_coords(img)
-    best = _search(xs, ys, max_angle, coarse_step, fine_step)
-    if best == 0.0 or abs(best) > max_trusted:
-        return 0.0
-    if _profile_score(xs, ys, best) < min_gain * _profile_score(xs, ys, 0.0):
+    if xs.size < 128:
         return 0.0
     mid = np.median(xs)
     left = xs < mid
     a_l = _search(xs[left], ys[left], max_angle, coarse_step, fine_step)
     a_r = _search(xs[~left], ys[~left], max_angle, coarse_step, fine_step)
-    if abs(a_l - best) > half_tol or abs(a_r - best) > half_tol:
+    if abs(a_l - a_r) > half_tol:
+        return 0.0
+    center = (a_l + a_r) / 2.0
+    if abs(center) > max_trusted:
+        return 0.0
+    # Refine on the full ink inside a +-coarse_step window around the
+    # trusted center; no trust re-check here — on rotated multi-column
+    # pages the full-page profile pulls toward a column-interleave harmonic
+    # and can drift the refined value just past the bound.
+    fine = np.arange(center - coarse_step, center + coarse_step + 1e-6,
+                     fine_step)
+    best = float(fine[int(np.argmax([_profile_score(xs, ys, a)
+                                     for a in fine]))])
+    if _profile_score(xs, ys, best) < min_gain * _profile_score(xs, ys, 0.0):
         return 0.0
     return best
 

@@ -308,6 +308,24 @@ class OCR:
             print(timer.report())
         return results
 
+    def _deskew_crop_view(self, img_gray, boxes):
+        """(crop_img, crop_boxes) to cut line crops from.
+
+        When the detector deskewed this page (deskew=True and the skew
+        fired), recognition must crop from the DESKEWED frame: a 2-6 deg
+        skewed crop costs the recognizer ~60x CER (measured — it is trained
+        on upright lines). The facade keeps the deskewed page and its
+        frame's boxes 1:1 with the input-frame boxes it returned; reported
+        result boxes always stay in input-frame coordinates.
+        """
+        det = self._detector
+        if (self.deskew and det is not None
+                and getattr(det, "last_deskew_boxes", None)
+                and len(det.last_deskew_boxes) == len(boxes)):
+            return (det.last_deskewed_image,
+                    [b.bbox for b in det.last_deskew_boxes])
+        return img_gray, boxes
+
     def _recognize_regions(self, img_gray, boxes, timer=None):
         """Crop + preprocess + recognize all regions, honoring the
         constructor's ``preprocess`` option on every document entry point.
@@ -315,6 +333,7 @@ class OCR:
         from .utils.profiling import StageTimer
 
         timer = timer or StageTimer()
+        img_gray, boxes = self._deskew_crop_view(img_gray, boxes)
         if self.preprocess == "device":
             # Pallas path: ship raw crops; invert+resize+pad+normalize run
             # fused on-chip (kernels/resize.py).
@@ -404,9 +423,10 @@ class OCR:
                 img_gray, boxes, det_confs, decode_method, verbose)
             return
 
+        crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
         for region_num, (box, det_conf) in enumerate(zip(boxes, det_confs), 1):
             try:
-                roi = crop_region(img_gray, box, 5)
+                roi = crop_region(crop_img, crop_boxes[region_num - 1], 5)
                 if roi is None:
                     continue
                 region_img = preprocess_np(self.cfg, roi)
@@ -471,7 +491,8 @@ class OCR:
         method = (self._normalize_decode_method(decode_method)
                   if decode_method is not None else self.decode_method)
         total_regions = len(boxes)
-        batch, kept, _ = preprocess_regions(self.cfg, img_gray, boxes,
+        crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
+        batch, kept, _ = preprocess_regions(self.cfg, crop_img, crop_boxes,
                                             extra_padding=5)
         record_lists = self.engine.stream_records_batch(batch, method)
         by_index = {bi: recs for bi, recs in zip(kept, record_lists)}
@@ -606,10 +627,11 @@ class OCR:
         for image_path in image_paths:
             boxes, det_confs = self._detect_boxes(image_path, mode)
             img_gray = self._load_gray(image_path)
+            crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
             if self.preprocess == "device":
                 crops, kept = [], []
-                for i, box in enumerate(boxes):
-                    roi = crop_region(img_gray, box, 5)
+                for i, box in enumerate(crop_boxes):
+                    roi = crop_region(crop_img, box, 5)
                     if roi is None:
                         continue
                     crops.append(to_gray(roi))
@@ -617,7 +639,7 @@ class OCR:
                 pool_crops.extend(crops)
             else:
                 batch, kept, widths = preprocess_regions(
-                    self.cfg, img_gray, boxes, extra_padding=5)
+                    self.cfg, crop_img, crop_boxes, extra_padding=5)
                 if len(kept):
                     pool_batches.append(batch)
                     pool_widths.append(widths)

@@ -93,6 +93,47 @@ def test_facade_deskew_recall_on_rotated_docs():
     assert hits / total >= 0.85, (hits, total)
 
 
+def test_pipeline_recognizes_from_deskewed_frame():
+    """End-to-end: on a rotated page the pipeline must crop UPRIGHT text
+    (from the detector's deskewed frame), not skewed input-frame crops —
+    measured cost of the latter is ~60x CER. Uses the trained flagship."""
+    from pathlib import Path
+
+    if not Path("models/model.safetensors").exists():
+        pytest.skip("trained flagship not present")
+    from kiri_tpu import OCR
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ocr = OCR(decode_method="fast", det_method="legacy", deskew=True)
+    doc = DocumentGenerator(480, 480, seed=313, khmer_ratio=0.0).generate()
+    rot = apply_condition(doc, "rotated", random.Random(4))
+    results = ocr.process_document(np.asarray(rot["image"], np.uint8))
+    assert abs(ocr.detector.last_skew_angle) >= 1.0, "deskew did not fire"
+    gt = "\n".join(doc["texts"])
+    hyp = "\n".join(r["text"] for r in results)
+    cer = lev(hyp, gt) / max(1, len(gt))
+    assert cer < 0.25, (cer, hyp[:80])
+    # Reported boxes stay in input-frame coordinates: each must cover its
+    # (rotated-frame) GT center.
+    hits = 0
+    for (gx, gy, gw, gh) in rot["lines"]:
+        cx, cy = gx + gw / 2, gy + gh / 2
+        hits += any(x <= cx <= x + w and y <= cy <= y + h
+                    for (x, y, w, h) in (r["box"] for r in results))
+    assert hits >= 0.8 * len(rot["lines"])
+
+
 def test_facade_deskew_noop_on_upright():
     from kiri_tpu.detect import TextDetector
 

@@ -102,6 +102,32 @@ def test_craft_gt_and_box_extraction():
     assert 0.4 * n_words <= len(boxes) <= 2.0 * n_words
 
 
+def test_craft_confidence_handles_out_of_map_quads(monkeypatch):
+    """min_area_rect quads on rotated pages can have corners outside the
+    score map; negative indices must not python-wrap the confidence slice
+    to an empty array (crashed with 'zero-size array to reduction')."""
+    import jax
+
+    import kiri_tpu.detect.craft as craft_mod
+    from kiri_tpu.detect.craft import CRAFTDetector
+    from kiri_tpu.detect.craft.net import init_craft_net
+
+    det = CRAFTDetector(variables=init_craft_net(jax.random.PRNGKey(0)))
+    bad_quads = [
+        np.array([[-6.0, -3.0], [20.0, -5.0], [22.0, 8.0], [-4.0, 10.0]]),
+        np.array([[-9.0, -8.0], [-2.0, -8.0], [-2.0, -1.0], [-9.0, -1.0]]),
+        np.array([[5.0, 5.0], [30.0, 5.0], [30.0, 15.0], [5.0, 15.0]]),
+    ]
+    monkeypatch.setattr(craft_mod, "get_det_boxes",
+                        lambda *a, **k: list(bad_quads))
+    img = np.full((96, 128), 255, np.uint8)
+    img[30:40, 20:90] = 0
+    results = det.detect_text(img)
+    assert len(results) == 3
+    for pts, conf in results:
+        assert np.isfinite(conf) and pts.shape == (4, 2)
+
+
 def test_db_net_shapes():
     import jax
 
