@@ -244,9 +244,14 @@ _KHMER_SIGNS = [chr(c) for c in (0x17C6, 0x17C7, 0x17C9, 0x17CA, 0x17CB,
 _KHMER_DIGITS = [chr(c) for c in range(0x17E0, 0x17EA)]
 
 
-def sample_khmer_word(rng: random.Random) -> str:
+def sample_khmer_word(rng: random.Random, vowel_p: float = 0.55,
+                      sign_p: float = 0.18) -> str:
     """One Khmer 'word': consonant clusters with dependent vowels/signs,
-    occasionally digits or an independent vowel."""
+    occasionally digits or an independent vowel.
+
+    `vowel_p`/`sign_p` control per-cluster dependent-vowel and sign
+    probabilities; boosted values oversample the small above-base marks
+    (ំ ៊ ័ ៌ ...) that dominate the trained model's residual confusions."""
     r = rng.random()
     if r < 0.06:
         return "".join(rng.choice(_KHMER_DIGITS)
@@ -259,15 +264,16 @@ def sample_khmer_word(rng: random.Random) -> str:
         if rng.random() < 0.15:  # coeng stack: subscript consonant
             chars.append("្")
             chars.append(rng.choice(_KHMER_CONS))
-        if rng.random() < 0.55:
+        if rng.random() < vowel_p:
             chars.append(rng.choice(_KHMER_VOWELS))
-        if rng.random() < 0.18:
+        if rng.random() < sign_p:
             chars.append(rng.choice(_KHMER_SIGNS))
     return "".join(chars)
 
 
 def sample_khmer_text(rng: random.Random, min_words: int = 1,
-                      max_words: int = 6, mixed_ratio: float = 0.15) -> str:
+                      max_words: int = 6, mixed_ratio: float = 0.15,
+                      vowel_p: float = 0.55, sign_p: float = 0.18) -> str:
     """Khmer line; with probability `mixed_ratio` per word, an English word
     is interleaved (mixed-script lines, as bilingual documents contain)."""
     words = []
@@ -275,7 +281,7 @@ def sample_khmer_text(rng: random.Random, min_words: int = 1,
         if rng.random() < mixed_ratio:
             words.append(rng.choice(_EN_WORDS))
         else:
-            words.append(sample_khmer_word(rng))
+            words.append(sample_khmer_word(rng, vowel_p, sign_p))
     return " ".join(words)
 
 
@@ -381,14 +387,24 @@ class MultilingualDatasetGenerator(DatasetGenerator):
     host; otherwise output degrades to English-only with a warning.
     """
 
-    def __init__(self, *args, khmer_ratio: float = 0.5, **kwargs):
+    def __init__(self, *args, khmer_ratio: float = 0.5,
+                 sign_boost: float = 0.0, **kwargs):
         super().__init__(*args, **kwargs)
         self.khmer_ratio = khmer_ratio if self.fonts.khmer_fonts else 0.0
+        #: Fraction of Khmer lines sampled diacritic-dense (vowel_p=0.75,
+        #: sign_p=0.50) to oversample the above-base marks behind the
+        #: flagship's residual errors (see scripts/eval_recognizer.py
+        #: --dump-errors: ំ<->ិ, dropped ៊/័/៌ etc.).
+        self.sign_boost = sign_boost
         if khmer_ratio > 0 and not self.fonts.khmer_fonts:
             print("⚠ No Khmer-capable fonts found; generating English only.")
 
     def _sample_line(self, min_words: int = 1, max_words: int = 8) -> str:
         if self.rng.random() < self.khmer_ratio:
+            if self.sign_boost and self.rng.random() < self.sign_boost:
+                return sample_khmer_text(self.rng, min_words,
+                                         max(2, max_words // 2),
+                                         vowel_p=0.75, sign_p=0.50)
             return sample_khmer_text(self.rng, min_words,
                                      max(2, max_words // 2))
         return sample_text(self.rng, min_words, max_words)

@@ -40,6 +40,31 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _reading_order(items):
+    """Sort (box, text) pairs into reading order: group boxes into y-bands
+    by median line height (like detect/__init__._sort_reading_order), then
+    left-to-right within a band."""
+    items = list(items)
+    if not items:
+        return items
+    items.sort(key=lambda it: it[0][1] + it[0][3] / 2)
+    med_h = float(np.median([b[3] for b, _ in items]))
+    bands, cur = [], [items[0]]
+    for it in items[1:]:
+        cy = it[0][1] + it[0][3] / 2
+        avg = float(np.mean([b[1] + b[3] / 2 for b, _ in cur]))
+        if abs(cy - avg) < med_h * 0.7:
+            cur.append(it)
+        else:
+            bands.append(cur)
+            cur = [it]
+    bands.append(cur)
+    out = []
+    for band in bands:
+        out.extend(sorted(band, key=lambda it: it[0][0]))
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=6, help="docs per condition")
@@ -77,10 +102,13 @@ def main() -> None:
                 doc = apply_condition(doc, cond, rng)
             img = np.asarray(doc["image"], np.uint8)
             results = ocr.process_document(img)
-            # Document-level CER: full reading-order transcript vs GT. This
-            # is robust to line fragmentation/merging (only ordering and
-            # whitespace cost), the standard whole-page OCR metric.
-            gt_doc = "\n".join(doc["texts"])
+            # Document-level CER: full transcript vs GT, both in READING
+            # order (y-band grouping then x — the facade's sort; the
+            # generator emits two-column GT per-column, which would charge
+            # the pipeline ~0.3 CER of pure ordering noise otherwise).
+            # Robust to line fragmentation/merging.
+            gt_doc = "\n".join(t for _, t in _reading_order(
+                zip(doc["lines"], doc["texts"])))
             hyp_doc = "\n".join(r["text"] for r in results)
             doc_err += _lev(hyp_doc, gt_doc)
             doc_len += len(gt_doc)

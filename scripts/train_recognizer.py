@@ -18,18 +18,29 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def doc_crop_samples(n: int, khmer_ratio: float, seed: int = 7000):
+def doc_crop_samples(n: int, khmer_ratio: float, seed: int = 7000,
+                     aug_conditions: float = 0.0):
     """Training lines cropped out of synthetic DOCUMENTS, with padding
     jitter approximating the DB detector's smart padding + the pipeline's
     +5px crop margin. Closes the distribution gap between cleanly-rendered
     synth lines and what the recognizer actually sees behind the detector
-    (neighbor-line bleed at crop edges, document noise, region trims)."""
+    (neighbor-line bleed at crop edges, document noise, region trims).
+
+    With `aug_conditions` > 0, that fraction of source documents is passed
+    through a docsynth degradation (noise / low-contrast / texture — the
+    robustness-suite surface) BEFORE cropping, so the recognizer trains on
+    the degraded crops the pipeline actually feeds it on hard pages
+    (measured gap: matched CER 0.011 clean vs 0.135 noisy / 0.092
+    low-contrast with a clean-crops-only flagship)."""
     import random
 
     import numpy as np
 
-    from kiri_tpu.data.docsynth import DocumentGenerator
+    from kiri_tpu.data.docsynth import DocumentGenerator, apply_condition
 
+    # 'rotated' is excluded: the pipeline deskews pages, so crops are
+    # near-upright; 'inverted' is normalized away by invert_if_dark.
+    crop_conds = ("noisy", "low_contrast", "textured")
     r = random.Random(seed)
     out = []
     doc_seed = seed
@@ -37,6 +48,8 @@ def doc_crop_samples(n: int, khmer_ratio: float, seed: int = 7000):
         gen = DocumentGenerator(640, 640, seed=doc_seed,
                                 khmer_ratio=khmer_ratio)
         doc = gen.generate()
+        if aug_conditions and r.random() < aug_conditions:
+            doc = apply_condition(doc, r.choice(crop_conds), r)
         img = doc["image"]
         for (x, y, w, h), text in zip(doc["lines"], doc["texts"]):
             if not text.strip() or w < 4 or h < 4:
@@ -72,6 +85,12 @@ def main() -> None:
     ap.add_argument("--doc-crop-ratio", type=float, default=0.0,
                     help="fraction of samples drawn as detector-style crops "
                          "out of synthetic documents")
+    ap.add_argument("--aug-conditions", type=float, default=0.0,
+                    help="fraction of doc-crop source documents degraded "
+                         "(noise/low-contrast/texture) before cropping")
+    ap.add_argument("--sign-boost", type=float, default=0.0,
+                    help="fraction of Khmer lines sampled diacritic-dense "
+                         "(targets the residual above-base-mark confusions)")
     ap.add_argument("--ctc-weight", type=float, default=0.5)
     ap.add_argument("--dec-weight", type=float, default=0.5,
                     help="raise above 0.5 to push AR-head (accurate-mode) "
@@ -104,13 +123,17 @@ def main() -> None:
     t0 = time.time()
     gen = MultilingualDatasetGenerator(str(out / "_gen_cache"),
                                        height=cfg.IMG_H, augment=True,
-                                       khmer_ratio=args.khmer_ratio)
+                                       khmer_ratio=args.khmer_ratio,
+                                       sign_boost=args.sign_boost)
     n_doc = int(args.samples * args.doc_crop_ratio)
     samples = gen.generate_samples(args.samples - n_doc, max_width=cfg.IMG_W,
                                    max_words=args.max_words)
     if n_doc:
-        print(f"  + {n_doc} detector-style document crops")
-        doc = doc_crop_samples(n_doc, args.khmer_ratio)
+        print(f"  + {n_doc} detector-style document crops"
+              + (f" ({args.aug_conditions:.0%} degraded)"
+                 if args.aug_conditions else ""))
+        doc = doc_crop_samples(n_doc, args.khmer_ratio,
+                               aug_conditions=args.aug_conditions)
         # Interleave so train/val splits and batches see both sources.
         import random as _random
 

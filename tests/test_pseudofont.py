@@ -150,3 +150,45 @@ def test_sample_khmer_text_mixes_scripts():
     texts = [sample_khmer_text(rng, 4, 8, mixed_ratio=0.5) for _ in range(20)]
     assert any(any(c.isascii() and c.isalpha() for c in t) for t in texts)
     assert all(any(0x1780 <= ord(c) <= 0x17FF for c in t) for t in texts)
+
+
+def test_sign_boost_raises_diacritic_density():
+    """sign_boost oversamples above-base marks (the flagship's residual
+    confusion class, ំ<->ិ / dropped ៊ ័ ៌  — eval_recognizer --dump-errors)."""
+    rng = random.Random(1)
+    signs = set("ំះៈ៉៊់៌៍៎៏័")
+
+    def density(vowel_p, sign_p):
+        txt = "".join(sample_khmer_text(rng, 4, 8, vowel_p=vowel_p,
+                                        sign_p=sign_p) for _ in range(150))
+        return sum(c in signs for c in txt) / max(1, len(txt))
+
+    assert density(0.75, 0.50) > 1.5 * density(0.55, 0.18)
+
+
+def test_generator_sign_boost_plumbing(tmp_path):
+    gen = MultilingualDatasetGenerator(str(tmp_path), khmer_ratio=1.0,
+                                       sign_boost=1.0)
+    signs = set("ំះៈ៉៊់៌៍៎៏័")
+    texts = [gen._sample_line(4, 8) for _ in range(60)]
+    dens = sum(c in signs for t in texts for c in t) / sum(len(t) for t in texts)
+    assert dens > 0.10, dens
+
+
+def test_doc_crop_aug_conditions():
+    """Degraded doc-crop training samples: right count, real degradation."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from train_recognizer import doc_crop_samples
+
+    clean = doc_crop_samples(16, 0.3, seed=7100, aug_conditions=0.0)
+    noisy = doc_crop_samples(16, 0.3, seed=7100, aug_conditions=1.0)
+    assert len(clean) == len(noisy) == 16
+    assert all(c["text"].strip() for c in noisy)
+    # Degradations change the crops (pixels, or shapes via the shared rng).
+    diff = sum(c["image"].shape != n["image"].shape
+               or not np.array_equal(c["image"], n["image"])
+               for c, n in zip(clean, noisy))
+    assert diff >= 8, diff
