@@ -57,13 +57,32 @@ def _ink_coords(img: np.ndarray, max_side: int = 1200,
 def _profile_score(xs: np.ndarray, ys: np.ndarray, angle_deg: float) -> float:
     """Sharpness of the horizontal projection profile after un-rotating by
     `angle_deg`: high when text rows align into tight bands."""
-    th = np.deg2rad(angle_deg)
+    return float(_profile_scores(xs, ys, np.asarray([angle_deg]))[0])
+
+
+def _profile_scores(xs: np.ndarray, ys: np.ndarray,
+                    angles_deg: np.ndarray) -> np.ndarray:
+    """Vectorized `_profile_score` over a grid of candidate angles."""
+    th = np.deg2rad(np.asarray(angles_deg, np.float64))[:, None]
     # Inverse of the PIL.rotate(a) content transform
     # p' = (x c + y s, -x s + y c): y_orig = x*sin(th) + y*cos(th).
-    y0 = xs * np.sin(th) + ys * np.cos(th)
-    rows = np.round(y0 - y0.min()).astype(np.int64)
-    prof = np.bincount(rows).astype(np.float64)
-    return float(np.var(prof))
+    y0 = xs[None, :] * np.sin(th) + ys[None, :] * np.cos(th)   # [A, N]
+    y0 -= y0.min(axis=1, keepdims=True)
+    rows = np.round(y0).astype(np.int64)
+    width = int(rows.max()) + 1
+    # One flat bincount for all angles: offset each angle's rows into its
+    # own [width] stripe of a shared histogram.
+    offs = rows + (np.arange(len(th), dtype=np.int64) * width)[:, None]
+    prof = np.bincount(offs.ravel(),
+                       minlength=len(th) * width).reshape(len(th), width)
+    prof = prof.astype(np.float64)
+    # Variance over each angle's OWN occupied span [0, max_row_i], exactly
+    # as the scalar per-angle bincount would compute it (a shared width
+    # would dilute short-span angles with zero bins).
+    w_i = rows.max(axis=1).astype(np.float64) + 1.0
+    n_pts = float(xs.size)
+    sum_p2 = (prof * prof).sum(axis=1)
+    return sum_p2 / w_i - (n_pts / w_i) ** 2
 
 
 def _search(xs: np.ndarray, ys: np.ndarray, max_angle: float,
@@ -71,9 +90,9 @@ def _search(xs: np.ndarray, ys: np.ndarray, max_angle: float,
     if xs.size < 64:
         return 0.0
     coarse = np.arange(-max_angle, max_angle + 1e-6, coarse_step)
-    best = coarse[int(np.argmax([_profile_score(xs, ys, a) for a in coarse]))]
+    best = coarse[int(np.argmax(_profile_scores(xs, ys, coarse)))]
     fine = np.arange(best - coarse_step, best + coarse_step + 1e-6, fine_step)
-    return float(fine[int(np.argmax([_profile_score(xs, ys, a) for a in fine]))])
+    return float(fine[int(np.argmax(_profile_scores(xs, ys, fine)))])
 
 
 def estimate_skew(img, max_angle: float = 8.0, coarse_step: float = 0.5,
@@ -117,8 +136,7 @@ def estimate_skew(img, max_angle: float = 8.0, coarse_step: float = 0.5,
     # and can drift the refined value just past the bound.
     fine = np.arange(center - coarse_step, center + coarse_step + 1e-6,
                      fine_step)
-    best = float(fine[int(np.argmax([_profile_score(xs, ys, a)
-                                     for a in fine]))])
+    best = float(fine[int(np.argmax(_profile_scores(xs, ys, fine)))])
     if _profile_score(xs, ys, best) < min_gain * _profile_score(xs, ys, 0.0):
         return 0.0
     return best
