@@ -56,6 +56,11 @@ def main() -> None:
     ap.add_argument("--dump-errors", default=None, metavar="DIR",
                     help="write per-method mismatch reports (JSON + line "
                          "images) into DIR for error analysis")
+    ap.add_argument("--degrade", action="store_true",
+                    help="apply document-style degradations (gaussian "
+                         "noise / contrast compression) to the line crops "
+                         "before recognition — the robustness-suite surface "
+                         "at line granularity")
     args = ap.parse_args()
 
     from kiri_tpu.data.synth import MultilingualDatasetGenerator
@@ -69,6 +74,20 @@ def main() -> None:
                                       khmer_ratio=args.khmer_ratio,
                                       seed=args.seed)
     samples = gen.generate_samples(args.n, max_width=cfg.IMG_W)
+    if args.degrade:
+        # Mirror docsynth's noisy/low_contrast conditions on line crops
+        # (data/docsynth.py:73-83,99-102), deterministic per line.
+        rng = np.random.default_rng(args.seed)
+        for s in samples:
+            img = s["image"].astype(np.float32)
+            kind = rng.integers(0, 2)
+            if kind == 0:
+                img = img + rng.normal(0, rng.uniform(14, 26), img.shape)
+            else:
+                lo = rng.uniform(70, 110)
+                hi = rng.uniform(170, 210)
+                img = img / 255.0 * (hi - lo) + lo
+            s["image"] = np.clip(img, 0, 255).astype(np.uint8)
     texts = [unicodedata.normalize("NFC", s["text"]) for s in samples]
     widths = np.asarray([content_width(s["image"].shape, cfg.IMG_H, cfg.IMG_W)
                          for s in samples], np.int32)
