@@ -119,9 +119,14 @@ def main() -> None:
                 for r in results:
                     x, y, w, h = r["box"]
                     if x <= cx <= x + w and y <= cy <= y + h:
-                        # Of several covering boxes keep the tightest fit.
-                        if hyp is None or w * h < hyp[1]:
-                            hyp = (r["text"], w * h)
+                        # Several boxes can cover the center (deskew-mapped
+                        # hulls of adjacent long lines overlap vertically at
+                        # 4-6 deg: hull height grows ~w*sin(a)); keep the
+                        # box whose own center is nearest, not the tightest
+                        # area (which picks a short NEIGHBOR line).
+                        d = abs((y + h / 2) - cy) + abs((x + w / 2) - cx)
+                        if hyp is None or d < hyp[1]:
+                            hyp = (r["text"], d)
                 if hyp is None:
                     missed_len += len(gt_text)
                     continue

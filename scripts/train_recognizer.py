@@ -38,9 +38,13 @@ def doc_crop_samples(n: int, khmer_ratio: float, seed: int = 7000,
 
     from kiri_tpu.data.docsynth import DocumentGenerator, apply_condition
 
-    # 'rotated' is excluded: the pipeline deskews pages, so crops are
-    # near-upright; 'inverted' is normalized away by invert_if_dark.
-    crop_conds = ("noisy", "low_contrast", "textured")
+    # 'rotated' appears as 'resample': the pipeline deskews pages, so what
+    # the recognizer actually sees on a rotated scan is the DOUBLE bilinear
+    # resample (condition rotate + deskew rotate-back) of near-upright
+    # text — modeled exactly here with the ground-truth angle (boxes are
+    # unchanged because the rotations cancel). 'inverted' is normalized
+    # away upstream by invert_if_dark.
+    crop_conds = ("noisy", "low_contrast", "textured", "resample")
     r = random.Random(seed)
     out = []
     doc_seed = seed
@@ -49,7 +53,16 @@ def doc_crop_samples(n: int, khmer_ratio: float, seed: int = 7000,
                                 khmer_ratio=khmer_ratio)
         doc = gen.generate()
         if aug_conditions and r.random() < aug_conditions:
-            doc = apply_condition(doc, r.choice(crop_conds), r)
+            cond = r.choice(crop_conds)
+            if cond == "resample":
+                from kiri_tpu.detect.deskew import rotate_image
+
+                a = r.uniform(2.0, 6.0) * (1 if r.random() < 0.5 else -1)
+                doc = dict(doc)
+                doc["image"] = rotate_image(
+                    rotate_image(np.asarray(doc["image"], np.uint8), a), -a)
+            else:
+                doc = apply_condition(doc, cond, r)
         img = doc["image"]
         for (x, y, w, h), text in zip(doc["lines"], doc["texts"]):
             if not text.strip() or w < 4 or h < 4:
