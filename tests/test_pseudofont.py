@@ -192,3 +192,18 @@ def test_doc_crop_aug_conditions():
                or not np.array_equal(c["image"], n["image"])
                for c, n in zip(clean, noisy))
     assert diff >= 8, diff
+
+
+def test_doc_crop_resample_aug_runs():
+    """The 'resample' doc-crop condition (rotate + rotate-back, modeling
+    deskewed serving of rotated scans) must keep texts/boxes usable."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import train_recognizer as tr
+
+    n = 24
+    out = tr.doc_crop_samples(n, 0.3, seed=9300, aug_conditions=1.0)
+    assert len(out) == n
+    assert all(o["text"].strip() and o["image"].size for o in out)
