@@ -78,6 +78,12 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--val-labels", help="Path to validation labels.txt")
     t.add_argument("--hf-dataset", "--hf-datasets", nargs="+",
                    help="HuggingFace dataset ID(s)")
+    t.add_argument("--hf-subset", default=None,
+                   help="Dataset subset/config name")
+    t.add_argument("--hf-train-split", default="train")
+    t.add_argument("--hf-val-split", default=None)
+    t.add_argument("--hf-streaming", action="store_true",
+                   help="Load with streaming=True and materialize host-side")
     t.add_argument("--hf-image-col", default="image")
     t.add_argument("--hf-text-col", default="text")
     t.add_argument("--hf-val-percent", type=float, default=0.1)
@@ -94,14 +100,28 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--save-steps", type=int, default=None)
     t.add_argument("--output-dir", default=None)
     t.add_argument("--from-model", help="Warm-start checkpoint")
-    t.add_argument("--enc-dim", type=int, default=None)
-    t.add_argument("--enc-layers", type=int, default=None)
-    t.add_argument("--enc-heads", type=int, default=None)
-    t.add_argument("--enc-ff", type=int, default=None)
-    t.add_argument("--dec-dim", type=int, default=None)
-    t.add_argument("--dec-layers", type=int, default=None)
-    t.add_argument("--dec-heads", type=int, default=None)
-    t.add_argument("--dec-ff", type=int, default=None)
+    t.add_argument("--resume", action="store_true",
+                   help="Resume from <output-dir>/latest.safetensors")
+    t.add_argument("--device", choices=["cpu", "tpu"], default=None,
+                   help="Force backend (default: auto)")
+    # Both our short spellings and the reference's long spellings
+    # (kiri_ocr/cli.py:406-456) are accepted for each architecture knob.
+    t.add_argument("--enc-dim", "--encoder-dim", type=int, default=None,
+                   dest="enc_dim")
+    t.add_argument("--enc-layers", "--encoder-layers", type=int, default=None,
+                   dest="enc_layers")
+    t.add_argument("--enc-heads", "--encoder-heads", type=int, default=None,
+                   dest="enc_heads")
+    t.add_argument("--enc-ff", "--encoder-ffn-dim", type=int, default=None,
+                   dest="enc_ff")
+    t.add_argument("--dec-dim", "--decoder-dim", type=int, default=None,
+                   dest="dec_dim")
+    t.add_argument("--dec-layers", "--decoder-layers", type=int, default=None,
+                   dest="dec_layers")
+    t.add_argument("--dec-heads", "--decoder-heads", type=int, default=None,
+                   dest="dec_heads")
+    t.add_argument("--dec-ff", "--decoder-ffn-dim", type=int, default=None,
+                   dest="dec_ff")
     t.add_argument("--dropout", type=float, default=None)
     t.add_argument("--n-devices", type=int, default=None)
     t.add_argument("--model-parallel", type=int, default=1)
@@ -119,28 +139,72 @@ def _build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("generate", help="Generate synthetic line dataset")
     g.add_argument("--train-file", "-t", default=None,
                    help="Text file, one line per sample (random if omitted)")
+    g.add_argument("--val-file", "-v", default=None,
+                   help="Validation text file (else 10%% split of train-file)")
     g.add_argument("--output", "-o", default="data")
     g.add_argument("--num-samples", "-n", type=int, default=1000)
+    g.add_argument("--language", "-l",
+                   choices=["english", "khmer", "mixed"], default=None,
+                   help="Script mix for random sampling (sets khmer-ratio)")
+    g.add_argument("--augment", "-a", type=int, default=1,
+                   help="Copies per train-file line (file-driven mode)")
+    g.add_argument("--val-augment", type=int, default=1)
     g.add_argument("--height", type=int, default=48)
+    g.add_argument("--width", type=int, default=None,
+                   help="Max render width (over-wide lines are resampled)")
+    g.add_argument("--fonts-dir", default=None,
+                   help="Extra font directory searched before system fonts")
+    g.add_argument("--font-mode", choices=["random", "all"], default="random",
+                   help="'all' renders every capable font per line")
+    g.add_argument("--random-augment", action="store_true",
+                   help="Re-roll augmentation on/off per rendered copy")
     g.add_argument("--no-augment", action="store_true")
     g.add_argument("--append", action="store_true")
     g.add_argument("--khmer-ratio", type=float, default=0.0)
 
     gd = sub.add_parser("generate-detector",
                         help="Generate synthetic detector dataset")
+    gd.add_argument("--text-file", default=None,
+                    help="Corpus file for document lines (random if omitted); "
+                         "'lang:file,lang:file' pairs are merged")
+    gd.add_argument("--fonts-dir", default=None,
+                    help="Extra font directory ('lang:dir,...' accepted)")
+    gd.add_argument("--font", default=None,
+                    help="Restrict rendering to one font file")
     gd.add_argument("--output", default="detector_dataset")
     gd.add_argument("--num-train", type=int, default=800)
     gd.add_argument("--num-val", type=int, default=200)
+    gd.add_argument("--min-lines", type=int, default=None)
+    gd.add_argument("--max-lines", type=int, default=None)
     gd.add_argument("--image-size", type=int, default=640)
+    gd.add_argument("--image-height", type=int, default=None,
+                    help="Document height (default: image-size)")
+    gd.add_argument("--no-augment", action="store_true")
+    gd.add_argument("--workers", type=int, default=1,
+                    help="Accepted for reference-CLI compat; generation is "
+                         "vectorized in-process")
     gd.add_argument("--kind", choices=["db", "craft", "both"], default="both")
     gd.add_argument("--khmer-ratio", type=float, default=0.0)
 
     td = sub.add_parser("train-detector", help="Train a text detector")
     td.add_argument("--detector", choices=["db", "craft"], default="db")
+    td.add_argument("--data-yaml", default=None,
+                    help="Pre-generated dataset dir (generate-detector "
+                         "output); trains from disk instead of the live "
+                         "generator pool")
     td.add_argument("--steps", type=int, default=2000)
+    td.add_argument("--epochs", type=int, default=None,
+                    help="With --data-yaml: passes over the dataset "
+                         "(overrides --steps)")
     td.add_argument("--batch-size", type=int, default=8)
     td.add_argument("--lr", type=float, default=None)
     td.add_argument("--image-size", type=int, default=640)
+    td.add_argument("--model-size", choices=["n", "s", "m", "l", "x"],
+                    default="n",
+                    help="Accepted for reference-CLI compat (the reference "
+                         "CRAFT trainer ignores it too)")
+    td.add_argument("--name", default=None,
+                    help="Run name -> runs/detect/<name> (reference layout)")
     td.add_argument("--output-dir", default=None)
     td.add_argument("--pool-size", type=int, default=256)
     td.add_argument("--khmer-ratio", type=float, default=0.3)
@@ -305,7 +369,9 @@ def run_train(args) -> None:
         train_set, val_set = load_hf_dataset(
             args.hf_dataset, args.hf_image_col, args.hf_text_col,
             cfg.IMG_H, cfg.IMG_W, augment=True,
-            val_ratio=args.hf_val_percent)
+            val_ratio=args.hf_val_percent, subset=args.hf_subset,
+            train_split=args.hf_train_split, val_split=args.hf_val_split,
+            streaming=args.hf_streaming)
     else:
         print("❌ Error: --train-labels or --hf-dataset is required")
         sys.exit(1)
@@ -331,41 +397,103 @@ def run_train(args) -> None:
         select_metric=args.select_metric, train_only=args.train_only,
         dec_input_noise=args.dec_input_noise)
 
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
     train_samples = [train_set[i] for i in range(len(train_set))]
     val_samples = ([val_set[i] for i in range(len(val_set))]
                    if not isinstance(val_set, list) else val_set)
+    # Resume is opt-in like the reference (cli.py:389-390); our library-level
+    # train_loop keeps resume-if-latest-exists as its default.
     train_loop(cfg, tok, tc, train_samples, val_samples,
-               vocab_path=vocab_path, from_model=args.from_model)
+               vocab_path=vocab_path, from_model=args.from_model,
+               resume=args.resume)
 
 
 def run_generate(args) -> None:
     from .data.synth import DatasetGenerator, MultilingualDatasetGenerator
+
+    khmer_ratio = args.khmer_ratio
+    if args.language and not khmer_ratio:
+        khmer_ratio = {"english": 0.0, "khmer": 1.0, "mixed": 0.5}[args.language]
+    cls = MultilingualDatasetGenerator if khmer_ratio > 0 else DatasetGenerator
+    kwargs = {"khmer_ratio": khmer_ratio} if khmer_ratio > 0 else {}
+    gen = cls(args.output, height=args.height,
+              augment=not args.no_augment, fonts_dir=args.fonts_dir,
+              max_width=args.width, **kwargs)
+
+    # File-driven mode mirrors the reference layout exactly: per-line augment
+    # counts, train/ + val/ splits, font-mode (generator.py:312-454).
+    if args.train_file and (args.val_file or args.augment > 1
+                            or args.font_mode != "random"
+                            or args.random_augment):
+        out = gen.generate_from_files(
+            args.train_file, val_file=args.val_file,
+            train_augment=args.augment, val_augment=args.val_augment,
+            font_mode=args.font_mode, random_augment=args.random_augment)
+        print(f"✓ Generated dataset -> {out}")
+        return
 
     texts = None
     if args.train_file:
         texts = [l.rstrip("\n") for l in
                  Path(args.train_file).read_text(encoding="utf-8").splitlines()
                  if l.strip()]
-    cls = (MultilingualDatasetGenerator if args.khmer_ratio > 0
-           else DatasetGenerator)
-    kwargs = {"khmer_ratio": args.khmer_ratio} if args.khmer_ratio > 0 else {}
-    gen = cls(args.output, height=args.height,
-              augment=not args.no_augment, **kwargs)
     labels = gen.generate_dataset(args.num_samples, texts=texts,
                                   append=args.append)
     print(f"✓ Generated {args.num_samples} samples -> {labels}")
 
 
+def _parse_lang_spec(spec):
+    """Reference 'lang:path,lang:path' syntax (detector/craft/dataset.py:
+    767-779) -> list of paths; a plain existing path passes through."""
+    if not spec:
+        return []
+    if Path(spec).exists():
+        return [spec]
+    out = []
+    for item in spec.split(","):
+        _, _, path = item.rpartition(":")
+        if path.strip():
+            out.append(path.strip())
+    return out
+
+
 def run_generate_detector(args) -> None:
     from .data.docsynth import generate_detector_dataset
+    from .data.synth import FontManager
 
+    texts = None
+    for tf in _parse_lang_spec(args.text_file):
+        lines = [l.strip() for l in
+                 Path(tf).read_text(encoding="utf-8").splitlines()
+                 if l.strip()]
+        texts = (texts or []) + lines
+
+    fonts = None
+    if args.font:
+        fonts = FontManager(font_dirs=[], sizes=(18, 22, 26, 30, 34))
+        fonts.font_paths = [args.font]
+        fonts.english_fonts = [args.font]
+        fonts.khmer_fonts = ([args.font]
+                             if fonts._supports(args.font, "កខ") else [])
+    elif args.fonts_dir:
+        from .data.synth import _FONT_DIRS
+
+        dirs = _parse_lang_spec(args.fonts_dir) + list(_FONT_DIRS)
+        fonts = FontManager(font_dirs=dirs, sizes=(18, 22, 26, 30, 34))
+
+    height = args.image_height or args.image_size
+    common = dict(kind=args.kind, khmer_ratio=args.khmer_ratio, texts=texts,
+                  min_lines=args.min_lines, max_lines=args.max_lines,
+                  augment=not args.no_augment, fonts=fonts)
     out = Path(args.output)
     generate_detector_dataset(str(out / "train"), args.num_train,
-                              args.image_size, args.image_size,
-                              kind=args.kind, khmer_ratio=args.khmer_ratio)
+                              args.image_size, height, **common)
     generate_detector_dataset(str(out / "val"), args.num_val,
-                              args.image_size, args.image_size, seed=1337,
-                              kind=args.kind, khmer_ratio=args.khmer_ratio)
+                              args.image_size, height, seed=1337, **common)
     print(f"✓ Detector dataset -> {out}")
 
 
@@ -382,16 +510,29 @@ def _parse_aug_weights(spec):
 
 def run_train_detector(args) -> None:
     aug_weights = _parse_aug_weights(args.aug_weights)
+    # Reference output layout when --name is given (craft/training.py:214-217)
+    default_out = (f"runs/detect/{args.name}" if args.name
+                   else ("checkpoints_db" if args.detector == "db"
+                         else "checkpoints_craft"))
+    steps = args.steps
+    if args.epochs and args.data_yaml:
+        from .data.docsynth import load_detector_batches
+
+        n_batches = len(load_detector_batches(args.data_yaml, args.detector,
+                                              args.batch_size))
+        steps = args.epochs * n_batches
+        print(f"ℹ {args.epochs} epochs x {n_batches} batches = {steps} steps")
     if args.detector == "db":
         from .detect.db.train import DBTrainConfig, train_db
 
-        tc = DBTrainConfig(steps=args.steps, batch_size=args.batch_size,
+        tc = DBTrainConfig(steps=steps, batch_size=args.batch_size,
                            image_size=args.image_size,
                            pool_size=args.pool_size,
                            khmer_ratio=args.khmer_ratio,
                            aug_conditions=args.aug_conditions,
                            aug_weights=aug_weights,
-                           out_dir=args.output_dir or "checkpoints_db")
+                           data_dir=args.data_yaml,
+                           out_dir=args.output_dir or default_out)
         if args.lr:
             tc.lr = args.lr
         variables = None
@@ -403,14 +544,15 @@ def run_train_detector(args) -> None:
     else:
         from .detect.craft.train import CRAFTTrainConfig, train_craft
 
-        tc = CRAFTTrainConfig(steps=args.steps, batch_size=args.batch_size,
+        tc = CRAFTTrainConfig(steps=steps, batch_size=args.batch_size,
                               image_size=args.image_size,
                               pool_size=args.pool_size,
                               khmer_ratio=args.khmer_ratio,
                               aug_conditions=args.aug_conditions,
                               aug_weights=aug_weights,
                               scale_aug=args.scale_aug,
-                              out_dir=args.output_dir or "checkpoints_craft")
+                              data_dir=args.data_yaml,
+                              out_dir=args.output_dir or default_out)
         if args.lr:
             tc.lr = args.lr
         variables = None

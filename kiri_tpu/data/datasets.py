@@ -95,26 +95,65 @@ def load_local_dataset(labels_file, img_h: int = 48, img_w: int = 640,
 def load_hf_dataset(names: Sequence[str], image_col: str = "image",
                     text_col: str = "text", img_h: int = 48, img_w: int = 640,
                     augment: bool = False, val_ratio: float = 0.05,
-                    seed: int = 42) -> Tuple[LineSampleSet, LineSampleSet]:
+                    seed: int = 42, subset: Optional[str] = None,
+                    train_split: str = "train",
+                    val_split: Optional[str] = None,
+                    streaming: bool = False
+                    ) -> Tuple[LineSampleSet, LineSampleSet]:
     """Load + concat HF datasets; auto train/val split with seed 42 when no
-    validation split exists (reference: kiri_ocr/training.py:369-438)."""
+    validation split exists (reference: kiri_ocr/training.py:369-438).
+
+    ``subset``/``train_split``/``val_split`` mirror the reference's
+    ``--hf-subset``/``--hf-train-split``/``--hf-val-split`` flags, and the
+    val-split fallback order matches training.py:388-394 (given split, then
+    validation/val/test, else a seeded auto-split). ``streaming`` loads with
+    ``streaming=True`` and materializes records host-side — the reference
+    accepts the flag but never forwards it (cli.py:339 vs training.py:383).
+    """
     from datasets import concatenate_datasets, load_dataset
+
+    def _load(name, split):
+        ds = load_dataset(name, subset, split=split, streaming=streaming)
+        if streaming:
+            # Width-bucketed batching needs random access + len; drain the
+            # stream into an indexable list of records once.
+            return [dict(row) for row in ds]
+        return ds
 
     trains, vals = [], []
     for name in names:
-        ds = load_dataset(name)
-        if "validation" in ds:
-            trains.append(ds["train"])
-            vals.append(ds["validation"])
-        elif "test" in ds:
-            trains.append(ds["train"])
-            vals.append(ds["test"])
-        else:
-            split = ds["train"].train_test_split(test_size=val_ratio, seed=seed)
-            trains.append(split["train"])
-            vals.append(split["test"])
-    train_ds = concatenate_datasets(trains) if len(trains) > 1 else trains[0]
-    val_ds = concatenate_datasets(vals) if len(vals) > 1 else vals[0]
+        trains.append(_load(name, train_split))
+        val = None
+        for split in (val_split, "validation", "val", "test"):
+            if not split:
+                continue
+            try:
+                val = _load(name, split)
+                break
+            except Exception:
+                continue
+        if val is None:
+            if streaming:
+                tr = trains[-1]
+                rng = random.Random(seed)
+                idx = list(range(len(tr)))
+                rng.shuffle(idx)
+                n_val = max(1, int(len(tr) * val_ratio))
+                val = [tr[i] for i in idx[:n_val]]
+                trains[-1] = [tr[i] for i in idx[n_val:]]
+            else:
+                split = trains[-1].train_test_split(test_size=val_ratio,
+                                                    seed=seed)
+                trains[-1] = split["train"]
+                val = split["test"]
+        vals.append(val)
+
+    if streaming:
+        train_ds = [r for ds in trains for r in ds]
+        val_ds = [r for ds in vals for r in ds]
+    else:
+        train_ds = concatenate_datasets(trains) if len(trains) > 1 else trains[0]
+        val_ds = concatenate_datasets(vals) if len(vals) > 1 else vals[0]
 
     def to_records(ds):
         return _HFRecords(ds, image_col, text_col)

@@ -143,13 +143,18 @@ class DocumentGenerator:
 
     def __init__(self, width: int = 640, height: int = 640,
                  fonts: Optional[FontManager] = None, seed: int = 42,
-                 augment: bool = True, khmer_ratio: float = 0.0):
+                 augment: bool = True, khmer_ratio: float = 0.0,
+                 texts: Optional[Sequence[str]] = None):
         self.width = width
         self.height = height
         self.fonts = fonts or FontManager(sizes=(18, 22, 26, 30, 34))
         self.rng = random.Random(seed)
         self.augment = augment
         self.khmer_ratio = khmer_ratio if self.fonts.khmer_fonts else 0.0
+        #: Optional source corpus: when set, document lines are drawn from
+        #: this pool instead of the random word sampler (reference
+        #: generate-detector --text-file, detector/craft/dataset.py:761-801).
+        self.texts = list(texts) if texts else None
 
     # ------------------------------------------------------------ rendering
     def generate(self, layout: Optional[str] = None) -> Dict[str, object]:
@@ -169,7 +174,9 @@ class DocumentGenerator:
         for (rx, ry, rw, rh, size) in regions:
             y = ry
             while y + size * 2 < ry + rh:
-                if self.rng.random() < self.khmer_ratio:
+                if self.texts:
+                    text = self.rng.choice(self.texts)
+                elif self.rng.random() < self.khmer_ratio:
                     text = sample_khmer_text(self.rng, 1,
                                              max(1, rw // (2 * size)))
                 else:
@@ -379,16 +386,35 @@ def craft_ground_truth(shape: Tuple[int, int],
 def generate_detector_dataset(output_dir: str, num_samples: int,
                               width: int = 640, height: int = 640,
                               seed: int = 42, kind: str = "both",
-                              khmer_ratio: float = 0.0) -> str:
+                              khmer_ratio: float = 0.0,
+                              texts: Optional[Sequence[str]] = None,
+                              min_lines: Optional[int] = None,
+                              max_lines: Optional[int] = None,
+                              augment: bool = True,
+                              fonts: Optional[FontManager] = None) -> str:
     """Writes images/, annotations.json with line + char boxes, and .npy GT
-    maps for the requested detector kind ('db' | 'craft' | 'both')."""
+    maps for the requested detector kind ('db' | 'craft' | 'both').
+
+    ``texts``/``min_lines``/``max_lines``/``augment`` mirror the reference's
+    generate-detector flags (cli.py:487-496): lines come from the given corpus
+    pool, and documents are resampled (bounded retries) until the line count
+    falls within [min_lines, max_lines]."""
     out = Path(output_dir)
     (out / "images").mkdir(parents=True, exist_ok=True)
     (out / "gt").mkdir(exist_ok=True)
-    gen = DocumentGenerator(width, height, seed=seed, khmer_ratio=khmer_ratio)
+    gen = DocumentGenerator(width, height, seed=seed, khmer_ratio=khmer_ratio,
+                            texts=texts, augment=augment, fonts=fonts)
     annotations = []
     for i in range(num_samples):
         doc = gen.generate()
+        for _ in range(8):
+            n = len(doc["lines"])
+            if ((min_lines is None or n >= min_lines)
+                    and (max_lines is None or n <= max_lines)):
+                break
+            # Too sparse -> force the dense layout; too crowded -> sparse.
+            doc = gen.generate(layout="dense" if (min_lines and n < min_lines)
+                               else "sparse")
         name = f"doc_{i:05d}.png"
         Image.fromarray(doc["image"]).save(out / "images" / name)
         annotations.append({"image": name, "lines": doc["lines"],
@@ -406,3 +432,53 @@ def generate_detector_dataset(output_dir: str, num_samples: int,
             np.save(out / "gt" / f"{name}.affinity.npy", affinity)
     (out / "annotations.json").write_text(json.dumps(annotations))
     return str(out / "annotations.json")
+
+
+def load_detector_batches(data_dir, kind: str,
+                          batch_size: int) -> List[Dict[str, np.ndarray]]:
+    """Training batches from a ``generate_detector_dataset`` directory.
+
+    This is the TPU-native counterpart of the reference's ``train-detector
+    --data-yaml`` disk path (detector/craft/training.py:196-223): accepts the
+    dataset root, a ``data.yaml``-style file path inside it, or a ``train/``
+    subdirectory. Every image + its .npy GT maps is loaded once; the remainder
+    wraps around so no sample is dropped.
+    """
+    root = Path(data_dir)
+    if root.suffix in (".yaml", ".yml", ".json"):
+        root = root.parent
+    for cand in (root, root / "train"):
+        if (cand / "annotations.json").exists():
+            root = cand
+            break
+    else:
+        raise FileNotFoundError(f"no annotations.json under {data_dir}")
+    ann = json.loads((root / "annotations.json").read_text())
+    items: List[Dict[str, np.ndarray]] = []
+    for rec in ann:
+        name = rec["image"]
+        img = np.asarray(Image.open(root / "images" / name).convert("L"),
+                         np.float32)
+        x = ((img / 255.0 - 0.5) / 0.5)[..., None]
+        if kind == "db":
+            items.append({
+                "image": x,
+                "prob_gt": np.load(root / "gt" / f"{name}.db_prob.npy"),
+                "thresh_gt": np.load(root / "gt" / f"{name}.db_thresh.npy"),
+                "tmask": np.load(root / "gt" / f"{name}.db_tmask.npy")})
+        else:
+            region = np.load(root / "gt" / f"{name}.region.npy")
+            aff = np.load(root / "gt" / f"{name}.affinity.npy")
+            # CRAFT supervises at half resolution (craft/train.py:95-97).
+            items.append({"image": x, "region_gt": region[::2, ::2],
+                          "affinity_gt": aff[::2, ::2]})
+    if not items:
+        raise ValueError(f"empty detector dataset at {data_dir}")
+    batches = []
+    for s in range(0, len(items), batch_size):
+        chunk = items[s: s + batch_size]
+        while len(chunk) < batch_size:  # wrap remainder
+            chunk.append(items[(s + len(chunk)) % len(items)])
+        batches.append({k: np.stack([it[k] for it in chunk])
+                        for k in chunk[0]})
+    return batches

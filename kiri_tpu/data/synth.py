@@ -293,12 +293,19 @@ class DatasetGenerator:
     """
 
     def __init__(self, output_dir: str, height: int = 48, augment: bool = True,
-                 fonts: Optional[FontManager] = None, seed: int = 42):
+                 fonts: Optional[FontManager] = None, seed: int = 42,
+                 fonts_dir: Optional[str] = None,
+                 max_width: Optional[int] = None):
         self.out = Path(output_dir)
         (self.out / "images").mkdir(parents=True, exist_ok=True)
+        if fonts is None and fonts_dir:
+            fonts = FontManager(font_dirs=[fonts_dir] + list(_FONT_DIRS))
         self.fonts = fonts or FontManager()
         self.renderer = ImageRenderer(height=height, augment=augment)
         self.rng = random.Random(seed)
+        #: Canvas-width cap (reference generate --width): renders wider than
+        #: this are aspect-resized down to fit.
+        self.max_width = max_width
 
     def _sample_line(self, min_words: int = 1, max_words: int = 8) -> str:
         """Text sampler hook; subclasses override for other scripts."""
@@ -332,9 +339,77 @@ class DatasetGenerator:
         path, size = picked
         try:
             font = self.fonts.get(path, size)
-            return self.renderer.render(text, font, self.rng)
+            img = self.renderer.render(text, font, self.rng)
         except Exception:
             return None
+        if self.max_width and img is not None and img.shape[1] > self.max_width:
+            h = max(1, int(img.shape[0] * self.max_width / img.shape[1]))
+            img = np.asarray(Image.fromarray(img).resize(
+                (self.max_width, h), Image.BILINEAR), dtype=np.uint8)
+        return img
+
+    def generate_from_files(self, train_file, val_file=None,
+                            train_augment: int = 1, val_augment: int = 1,
+                            font_mode: str = "random",
+                            random_augment: bool = False,
+                            val_ratio: float = 0.1) -> str:
+        """Reference-style file-driven generation (kiri_ocr/generator.py:312-454):
+        ``<out>/train/{images,labels.txt}`` + ``<out>/val/...``, each source
+        text line rendered ``augment`` times. ``font_mode='all'`` renders every
+        capable font per line instead of a random pick; ``random_augment``
+        re-rolls whether each copy is augmented. Without ``val_file`` the last
+        10% of shuffled train lines become the validation set."""
+        lines = [l.strip() for l in
+                 Path(train_file).read_text(encoding="utf-8").splitlines()
+                 if l.strip()]
+        if val_file and Path(val_file).exists():
+            val_lines = [l.strip() for l in
+                         Path(val_file).read_text(encoding="utf-8").splitlines()
+                         if l.strip()]
+        else:
+            shuffled = list(lines)
+            self.rng.shuffle(shuffled)
+            n_val = max(1, int(len(shuffled) * val_ratio))
+            val_lines, lines = shuffled[:n_val], shuffled[n_val:]
+        self._generate_split(self.out / "train", lines, train_augment,
+                             font_mode, random_augment)
+        self._generate_split(self.out / "val", val_lines, val_augment,
+                             font_mode, random_augment)
+        return str(self.out)
+
+    def _generate_split(self, out_dir: Path, lines: Sequence[str],
+                        augment_factor: int, font_mode: str,
+                        random_augment: bool) -> None:
+        (out_dir / "images").mkdir(parents=True, exist_ok=True)
+        base_augment = self.renderer.augment
+        i = 0
+        with (out_dir / "labels.txt").open("w", encoding="utf-8") as f:
+            for text in lines:
+                if font_mode == "all":
+                    pool = (self.fonts.khmer_fonts if _is_khmer(text)
+                            else self.fonts.english_fonts) or self.fonts.font_paths
+                else:
+                    pool = [None]  # random pick per copy via generate_one
+                for _ in range(max(1, augment_factor)):
+                    for fpath in pool:
+                        if random_augment:
+                            self.renderer.augment = self.rng.random() < 0.5
+                        if fpath is None:
+                            img = self.generate_one(text)
+                        else:
+                            try:
+                                font = self.fonts.get(
+                                    fpath, self.rng.choice(self.fonts.sizes))
+                                img = self.renderer.render(text, font, self.rng)
+                            except Exception:
+                                img = None
+                        if img is None:
+                            continue
+                        name = f"img_{i:06d}.png"
+                        Image.fromarray(img).save(out_dir / "images" / name)
+                        f.write(f"{name}\t{text}\n")
+                        i += 1
+        self.renderer.augment = base_augment
 
     def generate_samples(self, num_samples: int,
                          texts: Optional[Sequence[str]] = None,

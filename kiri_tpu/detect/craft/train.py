@@ -46,6 +46,10 @@ class CRAFTTrainConfig:
     # scale_aug_factors.
     scale_aug: float = 0.0
     scale_aug_factors: Tuple[float, ...] = (1.5, 2.0)
+    # Pre-generated dataset directory (generate-detector output). When set,
+    # batches come from disk instead of the live generator — the reference's
+    # `train-detector --data-yaml` path (detector/craft/training.py:196-223).
+    data_dir: Optional[str] = None
 
 
 def craft_loss(variables, batch):
@@ -135,7 +139,13 @@ def train_craft(tc: CRAFTTrainConfig, verbose: bool = True,
     step_jit = jax.jit(step_fn, donate_argnums=(0, 1))
 
     pool: List[Dict[str, np.ndarray]] = []
-    if tc.pool_size:
+    if tc.data_dir:
+        from ...data.docsynth import load_detector_batches
+
+        pool = load_detector_batches(tc.data_dir, "craft", tc.batch_size)
+        if verbose:
+            print(f"Loaded {len(pool)} batches from {tc.data_dir}")
+    elif tc.pool_size:
         if verbose:
             print(f"Pre-generating {tc.pool_size} documents...")
         for _ in range((tc.pool_size + tc.batch_size - 1) // tc.batch_size):

@@ -58,6 +58,10 @@ class DBTrainConfig:
     # Optional per-condition sampling weights (name -> weight, default 1.0
     # each); lets a continuation over-sample a weak condition (e.g. rotated).
     aug_weights: Optional[Dict[str, float]] = None
+    # Pre-generated dataset directory (generate-detector output). When set,
+    # batches come from disk instead of the live generator — the reference's
+    # `train-detector --data-yaml` path (detector/craft/training.py:196-223).
+    data_dir: Optional[str] = None
 
 
 def db_loss(variables, batch, *, k: float, alpha: float, beta: float,
@@ -171,7 +175,13 @@ def train_db(tc: DBTrainConfig, verbose: bool = True,
     step_fn = make_db_train_step(tc, optimizer)
 
     pool: List[Dict[str, np.ndarray]] = []
-    if tc.pool_size:
+    if tc.data_dir:
+        from ...data.docsynth import load_detector_batches
+
+        pool = load_detector_batches(tc.data_dir, "db", tc.batch_size)
+        if verbose:
+            print(f"Loaded {len(pool)} batches from {tc.data_dir}")
+    elif tc.pool_size:
         if verbose:
             print(f"Pre-generating {tc.pool_size} documents...")
         for _ in range((tc.pool_size + tc.batch_size - 1) // tc.batch_size):

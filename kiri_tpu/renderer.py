@@ -92,11 +92,18 @@ class DocumentRenderer:
         return str(output_path)
 
     def draw_results(self, image_path, results: List[Dict],
-                     output_path: str = "ocr_result.png") -> str:
-        """Original image + recognized text overlay side-by-side."""
+                     output_path: str = "output_ocr.png",
+                     show_text: bool = True,
+                     show_confidence: bool = True) -> str:
+        """Original image + recognized text overlay side-by-side.
+
+        Matches the reference signature (renderer.py:72-73): ``show_text``
+        suppresses the text overlay entirely (boxes only), and
+        ``show_confidence`` appends the confidence percentage to each label.
+        """
         img = self._load_rgb(image_path)
-        canvas = Image.new("RGB", (img.width * 2 + 10, img.height),
-                           (255, 255, 255))
+        width = img.width * 2 + 10 if show_text else img.width
+        canvas = Image.new("RGB", (width, img.height), (255, 255, 255))
         canvas.paste(img, (0, 0))
         draw = ImageDraw.Draw(canvas)
         xoff = img.width + 10
@@ -104,7 +111,11 @@ class DocumentRenderer:
             x, y, w, h = r["box"]
             color = _conf_color(r.get("confidence", 0.0))
             draw.rectangle([x, y, x + w, y + h], outline=color, width=2)
-            text = r.get("text", "")
+            if not show_text:
+                continue
+            text = r.get("text", "")[:50]
+            if show_confidence:
+                text += f" ({r.get('confidence', 0.0) * 100:.0f}%)"
             draw.rectangle([xoff + x, y, xoff + x + w, y + h],
                            outline=(200, 200, 200), width=1)
             draw.text((xoff + x + 2, y + max(0, (h - self.font_size) // 2)),

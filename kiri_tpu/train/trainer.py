@@ -457,7 +457,7 @@ class Trainer:
 def train_loop(cfg: CFG, tok: CharTokenizer, tc: TrainConfig,
                train_samples, val_samples, vocab_path: str = "",
                from_model: Optional[str] = None,
-               verbose: bool = True) -> Trainer:
+               verbose: bool = True, resume: bool = True) -> Trainer:
     """train_samples / val_samples: sequences of {image u8 [H,W], text}."""
     # The OneCycle horizon must match the real step count: width_bucket_plan
     # emits sum(ceil(group/B)) batches per epoch (remainders are resampled,
@@ -476,7 +476,7 @@ def train_loop(cfg: CFG, tok: CharTokenizer, tc: TrainConfig,
         trainer.variables = variables
         if verbose:
             print(f"🔥 Warm start from {from_model}")
-    if trainer.resume(latest) and verbose:
+    if resume and trainer.resume(latest) and verbose:
         print(f"▶ Resumed from {latest} (epoch {trainer.epoch}, step {trainer.step})")
 
     rng = np.random.default_rng(tc.seed)

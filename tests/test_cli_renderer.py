@@ -96,6 +96,17 @@ def test_renderer_outputs(tmp_path):
     assert Image.open(p2).size == (410, 100)
     html = Path(p3).read_text()
     assert "hello" in html and "world" in html and "data:image/png" in html
+    # show_text/show_confidence kwargs (reference renderer.py:72-73):
+    # boxes-only render stays at source width; confidence suffix toggles.
+    p4 = r.draw_results(img_path, results, str(tmp_path / "boxes_only.png"),
+                        show_text=False)
+    assert Image.open(p4).size == (200, 100)
+    import numpy as np
+    p5 = r.draw_results(img_path, results, str(tmp_path / "noconf.png"),
+                        show_confidence=False)
+    a_conf = np.asarray(Image.open(p2).convert("L"))
+    a_noconf = np.asarray(Image.open(p5).convert("L"))
+    assert (a_conf < 128).sum() > (a_noconf < 128).sum()
 
 
 def test_version(capsys):
