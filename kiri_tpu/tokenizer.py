@@ -174,6 +174,13 @@ def build_vocab_from_texts(texts, out_path: Union[str, Path], unk_token: str = "
     return str(out_path)
 
 
+def build_vocab_from_hf_dataset(ds, out_path: Union[str, Path],
+                                text_col: str = "text") -> str:
+    """Vocab from a HuggingFace dataset's text column (reference:
+    kiri_ocr/training.py:68-101 ``build_vocab_from_hf_dataset``)."""
+    return build_vocab_from_texts((row[text_col] for row in ds), out_path)
+
+
 def full_charset(include_khmer: bool = True) -> str:
     """The complete target character set: every printable ASCII char plus
     the assigned Khmer block (consonants, vowels, signs, digits, lunar

@@ -223,3 +223,13 @@ def test_load_hf_dataset_streaming_materializes(monkeypatch):
     texts = {train[i]["text"] for i in range(6)} | {val[i]["text"]
                                                     for i in range(2)}
     assert len(texts) == 8
+
+
+def test_build_vocab_from_hf_dataset(tmp_path):
+    from kiri_tpu.tokenizer import build_vocab_from_hf_dataset
+
+    ds = [{"text": "abc"}, {"text": "cde"}]
+    path = build_vocab_from_hf_dataset(ds, tmp_path / "vocab.json")
+    vocab = json.loads(Path(path).read_text())
+    assert set(vocab) == {"<unk>", "a", "b", "c", "d", "e"}
+    assert vocab["<unk>"] == 0
