@@ -71,6 +71,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--deskew", action="store_true",
                    help="Straighten skewed pages before detection "
                         "(projection-profile estimate, detect/deskew.py)")
+    p.add_argument("--enhance", action="store_true",
+                   help="Adaptive crop cleanup for degraded captures "
+                        "(conditional denoise + contrast stretch; no-op on "
+                        "clean pages)")
 
     t = sub.add_parser("train", help="Train the recognizer")
     t.add_argument("--config", help="YAML or JSON config file")
@@ -248,7 +252,8 @@ def run_inference(args) -> None:
                   det_method=args.det_method, padding=args.padding,
                   device=args.device, verbose=args.verbose,
                   decode_method=args.decode_method,
-                  deskew=getattr(args, "deskew", False))
+                  deskew=getattr(args, "deskew", False),
+                  enhance=getattr(args, "enhance", False))
 
         images = args.image
         if args.stream:

@@ -24,8 +24,8 @@ import numpy as np
 from .config import CFG
 from .engine import RecognizerEngine
 from .models import recognizer as R
-from .ops.preprocess import (crop_region, invert_if_dark, preprocess_np,
-                             preprocess_regions, to_gray)
+from .ops.preprocess import (crop_region, enhance_crop, invert_if_dark,
+                             preprocess_np, preprocess_regions, to_gray)
 from .tokenizer import CharTokenizer
 from .train.checkpoints import find_vocab_file, load_checkpoint
 
@@ -61,6 +61,7 @@ class OCR:
         use_fp16: Optional[bool] = None,
         preprocess: str = "host",
         deskew: bool = False,
+        enhance: bool = False,
     ):
         if preprocess not in ("host", "device"):
             raise ValueError(
@@ -89,6 +90,10 @@ class OCR:
         #: Straighten skewed pages inside the detector (detect/deskew.py);
         #: boxes are mapped back to input-frame coordinates.
         self.deskew = deskew
+        #: Adaptive crop cleanup for degraded captures — conditional denoise
+        #: + contrast stretch, a no-op on clean pages (ops/preprocess.py
+        #: ``enhance_crop``). Host-preprocess paths only.
+        self.enhance = enhance
         self.decode_method = decode_method
         self.use_fp16 = use_fp16
         self.use_beam_search = decode_method == "beam"
@@ -351,7 +356,8 @@ class OCR:
         else:
             with timer.stage("preprocess"):
                 batch, kept, widths = preprocess_regions(
-                    self.cfg, img_gray, boxes, extra_padding=5)
+                    self.cfg, img_gray, boxes, extra_padding=5,
+                    enhance=self.enhance)
             with timer.stage("recognize"):
                 recognized = self.engine.recognize_batch(
                     batch, self.decode_method, widths=widths)
@@ -429,6 +435,8 @@ class OCR:
                 roi = crop_region(crop_img, crop_boxes[region_num - 1], 5)
                 if roi is None:
                     continue
+                if self.enhance:
+                    roi = enhance_crop(invert_if_dark(to_gray(roi)))
                 region_img = preprocess_np(self.cfg, roi)
 
                 yield {
@@ -493,7 +501,8 @@ class OCR:
         total_regions = len(boxes)
         crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
         batch, kept, _ = preprocess_regions(self.cfg, crop_img, crop_boxes,
-                                            extra_padding=5)
+                                            extra_padding=5,
+                                            enhance=self.enhance)
         record_lists = self.engine.stream_records_batch(batch, method)
         by_index = {bi: recs for bi, recs in zip(kept, record_lists)}
 
@@ -639,7 +648,8 @@ class OCR:
                 pool_crops.extend(crops)
             else:
                 batch, kept, widths = preprocess_regions(
-                    self.cfg, crop_img, crop_boxes, extra_padding=5)
+                    self.cfg, crop_img, crop_boxes, extra_padding=5,
+                    enhance=self.enhance)
                 if len(kept):
                     pool_batches.append(batch)
                     pool_widths.append(widths)

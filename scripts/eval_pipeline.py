@@ -73,6 +73,9 @@ def main() -> None:
     ap.add_argument("--decode", default="fast",
                     choices=("fast", "accurate", "beam", "auto"))
     ap.add_argument("--deskew", action="store_true")
+    ap.add_argument("--enhance", action="store_true",
+                    help="adaptive crop cleanup (denoise/contrast) before "
+                         "recognition")
     ap.add_argument("--model", default="models/model.safetensors")
     ap.add_argument("--det-model", default=None)
     ap.add_argument("--detector", default="db", choices=("db", "craft", "legacy"))
@@ -85,7 +88,7 @@ def main() -> None:
 
     ocr = OCR(model_path=args.model, det_model_path=args.det_model,
               det_method=args.detector, decode_method=args.decode,
-              deskew=args.deskew)
+              deskew=args.deskew, enhance=args.enhance)
 
     summary = {}
     for cond in args.conditions.split(","):
@@ -145,7 +148,8 @@ def main() -> None:
         print(json.dumps(row))
 
     print(json.dumps({"decode": args.decode, "detector": args.detector,
-                      "deskew": args.deskew, "summary": summary}))
+                      "deskew": args.deskew, "enhance": args.enhance,
+                      "summary": summary}))
 
 
 if __name__ == "__main__":

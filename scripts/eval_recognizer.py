@@ -61,6 +61,10 @@ def main() -> None:
                          "noise / contrast compression) to the line crops "
                          "before recognition — the robustness-suite surface "
                          "at line granularity")
+    ap.add_argument("--enhance", action="store_true",
+                    help="run the adaptive crop-enhancement stage "
+                         "(ops/preprocess.enhance_crop) before recognition "
+                         "— pair with --degrade to measure its recovery")
     args = ap.parse_args()
 
     from kiri_tpu.data.synth import MultilingualDatasetGenerator
@@ -88,6 +92,11 @@ def main() -> None:
                 hi = rng.uniform(170, 210)
                 img = img / 255.0 * (hi - lo) + lo
             s["image"] = np.clip(img, 0, 255).astype(np.uint8)
+    if args.enhance:
+        from kiri_tpu.ops.preprocess import enhance_crop
+
+        for s in samples:
+            s["image"] = enhance_crop(s["image"])
     texts = [unicodedata.normalize("NFC", s["text"]) for s in samples]
     widths = np.asarray([content_width(s["image"].shape, cfg.IMG_H, cfg.IMG_W)
                          for s in samples], np.int32)
