@@ -94,6 +94,9 @@ class OCR:
         #: + contrast stretch, a no-op on clean pages (ops/preprocess.py
         #: ``enhance_crop``). Host-preprocess paths only.
         self.enhance = enhance
+        # Set per page by _deskew_crop_view: True when crops come from the
+        # deskew-resampled frame (enables the sharpen repair).
+        self._crops_resampled = False
         self.decode_method = decode_method
         self.use_fp16 = use_fp16
         self.use_beam_search = decode_method == "beam"
@@ -327,8 +330,12 @@ class OCR:
         if (self.deskew and det is not None
                 and getattr(det, "last_deskew_boxes", None)
                 and len(det.last_deskew_boxes) == len(boxes)):
+            # Provenance note for enhance_crop: these crops went through the
+            # deskew bilinear resample, so the sharpen repair applies.
+            self._crops_resampled = True
             return (det.last_deskewed_image,
                     [b.bbox for b in det.last_deskew_boxes])
+        self._crops_resampled = False
         return img_gray, boxes
 
     def _recognize_regions(self, img_gray, boxes, timer=None):
@@ -357,7 +364,8 @@ class OCR:
             with timer.stage("preprocess"):
                 batch, kept, widths = preprocess_regions(
                     self.cfg, img_gray, boxes, extra_padding=5,
-                    enhance=self.enhance)
+                    enhance=self.enhance,
+                    sharpen=self._crops_resampled)
             with timer.stage("recognize"):
                 recognized = self.engine.recognize_batch(
                     batch, self.decode_method, widths=widths)
@@ -436,7 +444,8 @@ class OCR:
                 if roi is None:
                     continue
                 if self.enhance:
-                    roi = enhance_crop(invert_if_dark(to_gray(roi)))
+                    roi = enhance_crop(invert_if_dark(to_gray(roi)),
+                                       sharpen=self._crops_resampled)
                 region_img = preprocess_np(self.cfg, roi)
 
                 yield {
@@ -502,7 +511,8 @@ class OCR:
         crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
         batch, kept, _ = preprocess_regions(self.cfg, crop_img, crop_boxes,
                                             extra_padding=5,
-                                            enhance=self.enhance)
+                                            enhance=self.enhance,
+                                            sharpen=self._crops_resampled)
         record_lists = self.engine.stream_records_batch(batch, method)
         by_index = {bi: recs for bi, recs in zip(kept, record_lists)}
 
@@ -649,7 +659,8 @@ class OCR:
             else:
                 batch, kept, widths = preprocess_regions(
                     self.cfg, crop_img, crop_boxes, extra_padding=5,
-                    enhance=self.enhance)
+                    enhance=self.enhance,
+                    sharpen=self._crops_resampled)
                 if len(kept):
                     pool_batches.append(batch)
                     pool_widths.append(widths)
