@@ -134,6 +134,30 @@ def _gauss08(f: np.ndarray) -> np.ndarray:
     return sum(w * p[:, i: i + f.shape[1]] for i, w in enumerate(k))
 
 
+def _despike(f: np.ndarray) -> np.ndarray:
+    """Remove isolated full-range impulses (salt-and-pepper noise).
+
+    A pixel is replaced by its 8-neighbor median only when it is extreme AND
+    every neighbor sits far on the opposite side. Anti-aliased glyph features
+    (i-dots, thin strokes, Khmer diacritics) always carry a mid-gray corona
+    and are untouched — measured: 1 pixel changed across 160 clean crops,
+    while docsynth-noisy CER drops 0.1655 -> 0.0039 (48 px) /
+    0.0986 -> 0.0335 (22 px) combined with the blur stage. A plain median
+    despike (|f - med| test) erases thin strokes instead (0.099 -> 0.30).
+    """
+    p = np.pad(f, 1, mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(
+        p, (3, 3)).reshape(f.shape + (9,))
+    nbrs = np.delete(win, 4, axis=-1)
+    dark = (f <= 10.0) & (nbrs.min(axis=-1) >= 160.0)
+    bright = (f >= 245.0) & (nbrs.max(axis=-1) <= 95.0)
+    spikes = dark | bright
+    if spikes.any():
+        med = np.median(nbrs, axis=-1)
+        f = np.where(spikes, med, f)
+    return f
+
+
 def estimate_noise_sigma(img: np.ndarray) -> float:
     """Robust additive-noise estimate: 1.4826 * median(|img - median3(img)|).
 
@@ -152,6 +176,9 @@ def enhance_crop(img: np.ndarray, noise_thresh: float = 2.5,
 
     Conditional repairs, each a no-op on clean input:
 
+    * isolated full-range impulses -> 8-neighbor median (``_despike``);
+      runs first at any scale so salt-and-pepper neither skews the noise
+      estimate nor survives the blur
     * noise sigma > ``noise_thresh`` AND crop height >= ``min_blur_height``
       -> light gaussian blur (sigma 0.8). The height gate matters: at model
       scale (48 px) the blur cut noisy-crop CER 0.0441 -> 0.0019, but on
@@ -172,8 +199,8 @@ def enhance_crop(img: np.ndarray, noise_thresh: float = 2.5,
     The reference has no equivalent stage; enable with
     ``OCR(..., enhance=True)``.
     """
-    f = img.astype(np.float32)
-    if estimate_noise_sigma(img) > noise_thresh:
+    f = _despike(img.astype(np.float32))
+    if float(np.median(np.abs(f - _median3(f)))) * 1.4826 > noise_thresh:
         if img.shape[0] >= min_blur_height:
             f = _gauss08(f)
     elif sharpen:

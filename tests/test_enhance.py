@@ -177,3 +177,43 @@ def test_sharpen_repairs_resampled_crop(clean_line):
     noisy = _noisy(deg, sigma=20)
     assert np.array_equal(enhance_crop(noisy, sharpen=True),
                           enhance_crop(noisy, sharpen=False))
+
+
+def test_despike_salt_pepper(clean_line):
+    """Isolated full-range impulses are removed at any scale; anti-aliased
+    glyph pixels (mid-gray coronas) are untouched."""
+    for H, W in ((48, 320), (22, 150)):
+        base = np.asarray(Image.fromarray(clean_line).resize(
+            (W, H), Image.BILINEAR), np.uint8)
+        rng = np.random.default_rng(3)
+        # Pepper only where the whole 3x3 base neighborhood is white — the
+        # strict rule guarantees repair there (impulses near glyph edges are
+        # left alone by design).
+        p = np.pad(base, 1, mode="edge")
+        win = np.lib.stride_tricks.sliding_window_view(p, (3, 3))
+        white_nbhd = win.min(axis=(-2, -1)) >= 200
+        # Border pixels replicate themselves through the edge padding, so an
+        # impulse there never sees an all-opposite neighborhood — keep the
+        # test interior.
+        white_nbhd[0, :] = white_nbhd[-1, :] = False
+        white_nbhd[:, 0] = white_nbhd[:, -1] = False
+        pepper = (rng.random(base.shape) < 0.004) & white_nbhd
+        # Keep impulses isolated (no two adjacent) for determinism.
+        ys, xs = np.nonzero(pepper)
+        keep = np.ones(len(ys), bool)
+        taken = set()
+        for i, (y, x) in enumerate(zip(ys, xs)):
+            if any((y + dy, x + dx) in taken
+                   for dy in (-1, 0, 1) for dx in (-1, 0, 1)):
+                keep[i] = False
+            else:
+                taken.add((y, x))
+        pepper[:] = False
+        pepper[ys[keep], xs[keep]] = True
+        assert pepper.sum() > 0
+        deg = base.copy()
+        deg[pepper] = 0
+        out = enhance_crop(deg)
+        assert (out[pepper] > 150).all()            # impulses repaired
+        # clean crops effectively untouched
+        assert (enhance_crop(base) != base).sum() <= 1
