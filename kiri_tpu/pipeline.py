@@ -94,6 +94,10 @@ class OCR:
         #: + contrast stretch, a no-op on clean pages (ops/preprocess.py
         #: ``enhance_crop``). Host-preprocess paths only.
         self.enhance = enhance
+        if enhance and preprocess == "device":
+            warnings.warn(
+                "enhance=True applies only to the host preprocess path; "
+                "preprocess='device' crops skip enhancement.", stacklevel=2)
         # Set per page by _deskew_crop_view: True when crops come from the
         # deskew-resampled frame (enables the sharpen repair).
         self._crops_resampled = False

@@ -57,10 +57,14 @@ def main() -> None:
                     help="write per-method mismatch reports (JSON + line "
                          "images) into DIR for error analysis")
     ap.add_argument("--degrade", action="store_true",
-                    help="apply document-style degradations (gaussian "
-                         "noise / contrast compression) to the line crops "
-                         "before recognition — the robustness-suite surface "
-                         "at line granularity")
+                    help="apply document-style degradations to the line "
+                         "crops before recognition — the robustness-suite "
+                         "surface at line granularity (conditions: gaussian "
+                         "noise + salt&pepper, contrast compression, "
+                         "rotate-resample; per-condition CER is reported)")
+    ap.add_argument("--render-height", type=int, default=None,
+                    help="render lines at this height instead of the model "
+                         "height (e.g. 22 = document-scale glyphs)")
     ap.add_argument("--enhance", action="store_true",
                     help="run the adaptive crop-enhancement stage "
                          "(ops/preprocess.enhance_crop) before recognition "
@@ -74,29 +78,52 @@ def main() -> None:
     ocr = OCR(args.model)
     cfg = ocr.cfg
     tmp = tempfile.mkdtemp(prefix="kiri_eval_")
-    gen = MultilingualDatasetGenerator(tmp, height=cfg.IMG_H, augment=False,
+    render_h = args.render_height or cfg.IMG_H
+    max_w = round(cfg.IMG_W * render_h / cfg.IMG_H)
+    gen = MultilingualDatasetGenerator(tmp, height=render_h, augment=False,
                                       khmer_ratio=args.khmer_ratio,
                                       seed=args.seed)
-    samples = gen.generate_samples(args.n, max_width=cfg.IMG_W)
+    samples = gen.generate_samples(args.n, max_width=max_w)
+    conditions = [None] * len(samples)
     if args.degrade:
-        # Mirror docsynth's noisy/low_contrast conditions on line crops
-        # (data/docsynth.py:73-83,99-102), deterministic per line.
+        # Mirror docsynth's degradation conditions on line crops
+        # (data/docsynth.py:48-102), deterministic per line.
+        from PIL import Image
+
         rng = np.random.default_rng(args.seed)
-        for s in samples:
+        kinds = ("noisy", "low_contrast", "rot_resample")
+        for i, s in enumerate(samples):
             img = s["image"].astype(np.float32)
-            kind = rng.integers(0, 2)
-            if kind == 0:
+            kind = kinds[int(rng.integers(0, len(kinds)))]
+            conditions[i] = kind
+            if kind == "noisy":
                 img = img + rng.normal(0, rng.uniform(14, 26), img.shape)
-            else:
+                mask = rng.random(img.shape)
+                img[mask < 0.002] = 0
+                img[mask > 0.998] = 255
+            elif kind == "low_contrast":
                 lo = rng.uniform(70, 110)
                 hi = rng.uniform(170, 210)
                 img = img / 255.0 * (hi - lo) + lo
+            else:  # what a deskew-straightened skewed page feeds recognition
+                a = float(rng.uniform(2, 6)) * (1 if rng.random() < 0.5
+                                                else -1)
+                pil = Image.fromarray(s["image"])
+                big = pil.rotate(a, resample=Image.BILINEAR, expand=True,
+                                 fillcolor=255)
+                back = big.rotate(-a, resample=Image.BILINEAR, expand=True,
+                                  fillcolor=255)
+                arr = np.asarray(back, np.float32)
+                h, w = s["image"].shape
+                y0, x0 = (arr.shape[0] - h) // 2, (arr.shape[1] - w) // 2
+                img = arr[y0:y0 + h, x0:x0 + w]
             s["image"] = np.clip(img, 0, 255).astype(np.uint8)
     if args.enhance:
         from kiri_tpu.ops.preprocess import enhance_crop
 
-        for s in samples:
-            s["image"] = enhance_crop(s["image"])
+        for i, s in enumerate(samples):
+            s["image"] = enhance_crop(s["image"],
+                                      sharpen=conditions[i] == "rot_resample")
     texts = [unicodedata.normalize("NFC", s["text"]) for s in samples]
     widths = np.asarray([content_width(s["image"].shape, cfg.IMG_H, cfg.IMG_W)
                          for s in samples], np.int32)
@@ -114,9 +141,13 @@ def main() -> None:
                 imgs[i: i + B], ocr._normalize_decode_method(method),
                 widths=widths[i: i + B]))
         per = {}
-        for grp in ("english", "khmer", "mixed", "all"):
-            idx = [i for i, s in enumerate(scripts)
-                   if grp in ("all", s)]
+        groups = [("english", scripts), ("khmer", scripts),
+                  ("mixed", scripts), ("all", scripts)]
+        if args.degrade:
+            groups += [(k, conditions)
+                       for k in ("noisy", "low_contrast", "rot_resample")]
+        for grp, labels in groups:
+            idx = [i for i, s in enumerate(labels) if grp in ("all", s)]
             if not idx:
                 continue
             cers = [lev(texts[i], unicodedata.normalize("NFC", outs[i][0]))
