@@ -121,7 +121,8 @@ class RecognizerEngine:
         return D.pick_l_cap(self.cfg, int(ms.max(initial=1)))
 
     # ---------------------------------------------------------- public paths
-    def recognize_crops(self, crops: Sequence[np.ndarray], method: str
+    def recognize_crops(self, crops: Sequence[np.ndarray], method: str,
+                        enhance: bool = False, sharpen: bool = False
                         ) -> List[Tuple[str, float]]:
         """Recognize raw variable-size line crops with DEVICE preprocessing:
         the Pallas kernel (kernels/resize.py) fuses invert-if-dark + aspect
@@ -130,12 +131,17 @@ class RecognizerEngine:
         Host-side preprocessing (``recognize_batch``) ships fewer bytes per
         line (48x640 u8 vs padded raw crops), so it wins when host->device
         bandwidth is the bottleneck; this path wins when host CPU is.
+
+        ``enhance``/``sharpen`` run the on-device adaptive crop cleanup
+        (kernels/resize.enhance_lines) before the fused preprocess — the
+        device twin of the host path's ``enhance_crop``.
         """
         if len(crops) == 0:
             return []
         import jax.numpy as jnp
 
-        from .kernels.resize import pack_crops, preprocess_lines
+        from .kernels.resize import (enhance_lines, pack_crops,
+                                     preprocess_lines)
 
         buf, sizes = pack_crops(list(crops))
         bucket = D.pick_batch_bucket(self.cfg, buf.shape[0])
@@ -145,8 +151,10 @@ class RecognizerEngine:
                 [buf, np.zeros((pad_n,) + buf.shape[1:], np.uint8)])
             sizes = np.concatenate(
                 [sizes, np.ones((pad_n, 2), np.int32)], axis=0)
-        norm = preprocess_lines(jnp.asarray(buf), jnp.asarray(sizes),
-                                self.cfg.IMG_H, self.cfg.IMG_W)
+        dbuf, dsizes = jnp.asarray(buf), jnp.asarray(sizes)
+        if enhance:
+            dbuf = enhance_lines(dbuf, dsizes, sharpen=sharpen)
+        norm = preprocess_lines(dbuf, dsizes, self.cfg.IMG_H, self.cfg.IMG_W)
         return self._recognize_prepared(norm, len(crops), method)
 
     def _recognize_prepared(self, imgs, n: int, method: str

@@ -91,13 +91,10 @@ class OCR:
         #: boxes are mapped back to input-frame coordinates.
         self.deskew = deskew
         #: Adaptive crop cleanup for degraded captures — conditional denoise
-        #: + contrast stretch, a no-op on clean pages (ops/preprocess.py
-        #: ``enhance_crop``). Host-preprocess paths only.
+        #: + contrast stretch, a no-op on clean pages. Host path:
+        #: ops/preprocess.enhance_crop; device path: the XLA twin
+        #: kernels/resize.enhance_lines.
         self.enhance = enhance
-        if enhance and preprocess == "device":
-            warnings.warn(
-                "enhance=True applies only to the host preprocess path; "
-                "preprocess='device' crops skip enhancement.", stacklevel=2)
         # Set per page by _deskew_crop_view: True when crops come from the
         # deskew-resampled frame (enables the sharpen repair).
         self._crops_resampled = False
@@ -362,8 +359,9 @@ class OCR:
                     crops.append(to_gray(roi))
                     kept.append(i)
             with timer.stage("recognize"):
-                recognized = self.engine.recognize_crops(crops,
-                                                         self.decode_method)
+                recognized = self.engine.recognize_crops(
+                    crops, self.decode_method, enhance=self.enhance,
+                    sharpen=self._crops_resampled)
         else:
             with timer.stage("preprocess"):
                 batch, kept, widths = preprocess_regions(
@@ -647,10 +645,12 @@ class OCR:
         """
         per_doc = []            # (boxes, det_confs, n_pooled_rows)
         pool_batches, pool_widths, pool_crops, pool_kept = [], [], [], []
+        pool_resampled = False  # any page deskew-resampled -> device sharpen
         for image_path in image_paths:
             boxes, det_confs = self._detect_boxes(image_path, mode)
             img_gray = self._load_gray(image_path)
             crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
+            pool_resampled = pool_resampled or self._crops_resampled
             if self.preprocess == "device":
                 crops, kept = [], []
                 for i, box in enumerate(crop_boxes):
@@ -674,8 +674,9 @@ class OCR:
                 print(f"🔍 {image_path}: {len(boxes)} regions")
 
         if self.preprocess == "device":
-            recognized = self.engine.recognize_crops(pool_crops,
-                                                     self.decode_method)
+            recognized = self.engine.recognize_crops(
+                pool_crops, self.decode_method, enhance=self.enhance,
+                sharpen=pool_resampled)
         elif pool_batches:
             recognized = self.engine.recognize_batch(
                 np.concatenate(pool_batches),

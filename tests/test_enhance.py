@@ -217,3 +217,65 @@ def test_despike_salt_pepper(clean_line):
         assert (out[pepper] > 150).all()            # impulses repaired
         # clean crops effectively untouched
         assert (enhance_crop(base) != base).sum() <= 1
+
+
+# ------------------------------------------------- device (XLA) twin parity
+def test_enhance_lines_matches_host(clean_line):
+    """kernels/resize.enhance_lines tracks ops/preprocess.enhance_crop on
+    every condition (mean-vs-median spike fill and nearest-order-statistic
+    percentiles allow small numeric drift, not behavioral drift)."""
+    import jax.numpy as jnp
+
+    from kiri_tpu.kernels.resize import enhance_lines, pack_crops
+
+    small = np.asarray(Image.fromarray(clean_line).resize((150, 22),
+                                                          Image.BILINEAR))
+    rng = np.random.default_rng(11)
+    sp = clean_line.copy()
+    m = rng.random(sp.shape)
+    sp[(m < 0.003) & (sp > 200)] = 0
+    crops = [clean_line, _noisy(clean_line), _low_contrast(clean_line),
+             small, _noisy(small), _low_contrast(small), sp]
+    buf, sizes = pack_crops(crops)
+    out = np.asarray(enhance_lines(jnp.asarray(buf), jnp.asarray(sizes)))
+    for i, c in enumerate(crops):
+        h, w = c.shape
+        dev = out[i, :h, :w].astype(np.float32)
+        host = enhance_crop(c).astype(np.float32)
+        if i == 0:  # clean stays bit-identical on both paths
+            assert np.array_equal(dev, c) and np.array_equal(host, c)
+        diff = np.abs(dev - host)
+        assert diff.mean() < 3.0, (i, diff.mean())
+        # disagreeing pixels are rare (spike-fill / percentile rounding)
+        assert (diff > 32).mean() < 0.01, (i, (diff > 32).mean())
+
+
+def test_enhance_lines_sharpen_gate(clean_line):
+    import jax.numpy as jnp
+
+    from kiri_tpu.kernels.resize import enhance_lines, pack_crops
+
+    small = np.asarray(Image.fromarray(clean_line).resize((150, 22),
+                                                          Image.BILINEAR))
+    soft = Image.fromarray(small).rotate(
+        4, resample=Image.BILINEAR, expand=True, fillcolor=255).rotate(
+        -4, resample=Image.BILINEAR, expand=True, fillcolor=255)
+    arr = np.asarray(soft, np.uint8)
+    h, w = arr.shape
+    deg = arr[(h - 22) // 2:(h - 22) // 2 + 22,
+              (w - 150) // 2:(w - 150) // 2 + 150]
+    buf, sizes = pack_crops([deg])
+    plain = np.asarray(enhance_lines(jnp.asarray(buf), jnp.asarray(sizes)))
+    sharp = np.asarray(enhance_lines(jnp.asarray(buf), jnp.asarray(sizes),
+                                     sharpen=True))
+
+    def ge(x):
+        return float(np.abs(np.diff(x[0, :22, :150].astype(np.float32),
+                                    axis=1)).mean())
+    # The contrast stretch also fires on this crop (raising plain's edge
+    # energy), so the sharpen contract is: strictly above plain, and within
+    # 5% of the host sharpen result.
+    assert ge(sharp) > ge(plain)
+    host = enhance_crop(deg, sharpen=True).astype(np.float32)
+    host_ge = float(np.abs(np.diff(host, axis=1)).mean())
+    assert abs(ge(sharp) - host_ge) / host_ge < 0.05
