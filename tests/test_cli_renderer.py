@@ -238,3 +238,22 @@ def test_multi_image_predict_pooled(tmp_path, capsys):
         doc_dir = out / f"page{i}"
         assert (doc_dir / "extracted_text.txt").exists()
         assert (doc_dir / "ocr_results.json").exists()
+
+
+def test_predict_enhance_plumbing(tmp_path, monkeypatch):
+    """--enhance reaches the OCR constructor."""
+    import kiri_tpu.pipeline as pipeline_mod
+
+    seen = {}
+
+    class FakeOCR:
+        def __init__(self, **kw):
+            seen.update(kw)
+            raise RuntimeError("stop here")
+
+    monkeypatch.setattr(pipeline_mod, "OCR", FakeOCR)
+    img = tmp_path / "x.png"
+    Image.new("L", (100, 50), 255).save(img)
+    main(["predict", str(img), "--enhance", "--det-method", "legacy",
+          "--output", str(tmp_path / "out"), "--no-render"])
+    assert seen.get("enhance") is True
