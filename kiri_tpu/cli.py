@@ -344,6 +344,23 @@ def run_streaming_inference(ocr, image, args, output_dir: Path) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Reference config-file spellings for architecture knobs (its CLI flag
+# names with dashes->underscores, kiri_ocr/cli.py:245-259).
+_REF_CFG_ALIASES = {
+    "encoder_dim": "enc_dim", "encoder_layers": "enc_layers",
+    "encoder_heads": "enc_heads", "encoder_ffn_dim": "enc_ff",
+    "decoder_dim": "dec_dim", "decoder_layers": "dec_layers",
+    "decoder_heads": "dec_heads", "decoder_ffn_dim": "dec_ff",
+}
+# Config-file keys outside DEFAULT_TRAIN_CONFIG that the reference honors
+# (paths, data sources, resume — kiri_ocr/cli.py:9-27 init template). They
+# fill in only when the CLI flag was not given, matching the reference's
+# "CLI overrides when not None" rule.
+_CFG_PASSTHROUGH = (
+    "train_labels", "val_labels", "vocab", "from_model", "resume",
+    "device", "hf_dataset", "hf_subset", "hf_val_split", "hf_streaming")
+
+
 def run_train(args) -> None:
     from .config import CFG
     from .data.datasets import load_hf_dataset, load_local_dataset
@@ -351,6 +368,11 @@ def run_train(args) -> None:
     from .train.trainer import TrainConfig, train_loop
 
     file_cfg = load_config_file(args.config) if args.config else None
+    if file_cfg:
+        file_cfg = {_REF_CFG_ALIASES.get(k, k): v for k, v in file_cfg.items()}
+        for k in _CFG_PASSTHROUGH:
+            if k in file_cfg and getattr(args, k, None) in (None, False):
+                setattr(args, k, file_cfg[k])
     merged = merge_config(
         DEFAULT_TRAIN_CONFIG, file_cfg,
         {k: getattr(args, k, None) for k in DEFAULT_TRAIN_CONFIG})

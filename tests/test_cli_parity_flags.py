@@ -233,3 +233,42 @@ def test_build_vocab_from_hf_dataset(tmp_path):
     vocab = json.loads(Path(path).read_text())
     assert set(vocab) == {"<unk>", "a", "b", "c", "d", "e"}
     assert vocab["<unk>"] == 0
+
+
+def test_reference_config_file_keys(tmp_path, monkeypatch):
+    """A reference-format train_config.yaml (its key spellings, its
+    path/data keys) drives our train subcommand (kiri_ocr/cli.py:9-27)."""
+    from PIL import Image as PILImage
+
+    from kiri_tpu.cli import main
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    lines = []
+    for i, text in enumerate(["ab", "ba"]):
+        PILImage.new("L", (80, 48), 255).save(img_dir / f"l{i}.png")
+        lines.append(f"l{i}.png\t{text}")
+    (tmp_path / "labels.txt").write_text("\n".join(lines) + "\n")
+    (tmp_path / "cfg.yaml").write_text(f"""
+train_labels: {tmp_path / 'labels.txt'}
+output_dir: {tmp_path / 'out'}
+epochs: 3
+encoder_dim: 64
+decoder_ffn_dim: 96
+resume: true
+""")
+
+    captured = {}
+
+    def fake_train_loop(cfg, tok, tc, *a, **kw):
+        captured["cfg"] = cfg
+        captured["tc"] = tc
+        captured["resume"] = kw.get("resume")
+
+    import kiri_tpu.train.trainer as trainer_mod
+    monkeypatch.setattr(trainer_mod, "train_loop", fake_train_loop)
+    main(["train", "--config", str(tmp_path / "cfg.yaml")])
+    assert captured["cfg"].ENC_DIM == 64
+    assert captured["cfg"].DEC_FF == 96
+    assert captured["tc"].epochs == 3
+    assert captured["resume"] is True
