@@ -241,7 +241,7 @@ def enhance_lines(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
         noisy = sigma > 2.5
         f = jnp.where(noisy & (h >= 36), g, f)
         if sharpen:
-            f = jnp.where(noisy, f, jnp.clip(f + (f - g), 0.0, 255.0))
+            f = jnp.where(noisy, f, jnp.clip(f + 1.4 * (f - g), 0.0, 255.0))
 
         # Percentile stretch (p1/p99 as nearest order statistics).
         vals = jnp.sort(jnp.where(valid, f, jnp.inf).ravel())

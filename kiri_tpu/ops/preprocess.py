@@ -187,8 +187,9 @@ def enhance_crop(img: np.ndarray, noise_thresh: float = 2.5,
       costs little — so small crops skip it.
     * ``sharpen=True`` (caller knows the crop came through a resampling
       transform, e.g. the deskew rotation) -> unsharp mask at native scale
-      (amount 1.0, sigma 0.8): rotated-resample CER 0.0854 -> 0.0352 on
-      22 px renders. Skipped when the noise gate fired (sharpening would
+      (amount 1.4, sigma 0.8; swept 0.6/1.0/1.4/1.8 -> 0.0398/0.0352/
+      0.0289/0.0296): rotated-resample CER 0.0854 -> 0.0289 on 22 px
+      renders. Skipped when the noise gate fired (sharpening would
       amplify noise).
     * p99 - p1 < ``range_thresh`` -> percentile contrast stretch, applied
       last so it never amplifies raw noise. Scale-independent: low-contrast
@@ -204,7 +205,7 @@ def enhance_crop(img: np.ndarray, noise_thresh: float = 2.5,
         if img.shape[0] >= min_blur_height:
             f = _gauss08(f)
     elif sharpen:
-        f = np.clip(f + (f - _gauss08(f)), 0.0, 255.0)
+        f = np.clip(f + 1.4 * (f - _gauss08(f)), 0.0, 255.0)
     lo, hi = np.percentile(f, 1.0), np.percentile(f, 99.0)
     if 1.0 < hi - lo < range_thresh:
         f = (f - lo) / (hi - lo) * 255.0
