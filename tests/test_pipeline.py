@@ -198,3 +198,27 @@ def test_auto_decode_method_end_to_end(ckpt, doc):
     # Streaming under auto uses the CTC path (documented degradation).
     chunks = list(ocr_auto.extract_text_stream_chars(doc))
     assert chunks[-1]["document_finished"]
+
+
+def test_recognize_region_and_streaming_schema(ocr):
+    """Direct region APIs (reference core.py:553-686): tuple result and
+    per-step streaming dicts from a preprocessed line image."""
+    font = ImageFont.truetype(FONT, 28)
+    img = Image.new("L", (300, 48), 255)
+    ImageDraw.Draw(img).text((8, 6), "hi there", fill=0, font=font)
+    arr = np.asarray(img, np.uint8)
+
+    text, conf = ocr.recognize_region(arr)
+    assert isinstance(text, str) and 0.0 <= conf <= 1.0
+
+    # Reference [1,1,H,W] float layout is also accepted.
+    ref_layout = (arr.astype(np.float32) / 255.0 - 0.5) / 0.5
+    text2, _ = ocr.recognize_region(ref_layout[None, None])
+    assert text2 == text
+
+    chunks = list(ocr.recognize_region_streaming(arr))
+    assert chunks, "no streaming chunks"
+    for c in chunks:
+        assert {"text", "step", "finished"} <= set(c)
+    assert chunks[-1]["finished"] is True
+    assert chunks[-1]["text"] == text
