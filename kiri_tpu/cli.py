@@ -370,6 +370,10 @@ def run_train(args) -> None:
     file_cfg = load_config_file(args.config) if args.config else None
     if file_cfg:
         file_cfg = {_REF_CFG_ALIASES.get(k, k): v for k, v in file_cfg.items()}
+        # A YAML scalar is the natural way to write one dataset id; the CLI
+        # flag is nargs="+", so normalize to a list.
+        if isinstance(file_cfg.get("hf_dataset"), str):
+            file_cfg["hf_dataset"] = [file_cfg["hf_dataset"]]
         for k in _CFG_PASSTHROUGH:
             if k in file_cfg and getattr(args, k, None) in (None, False):
                 setattr(args, k, file_cfg[k])
@@ -451,11 +455,10 @@ def run_generate(args) -> None:
               augment=not args.no_augment, fonts_dir=args.fonts_dir,
               max_width=args.width, **kwargs)
 
-    # File-driven mode mirrors the reference layout exactly: per-line augment
-    # counts, train/ + val/ splits, font-mode (generator.py:312-454).
-    if args.train_file and (args.val_file or args.augment > 1
-                            or args.font_mode != "random"
-                            or args.random_augment):
+    # A --train-file always produces the reference layout (train/ + val/
+    # splits, per-line augment counts, font-mode — generator.py:312-454) so
+    # downstream scripts written against the reference find the same files.
+    if args.train_file:
         out = gen.generate_from_files(
             args.train_file, val_file=args.val_file,
             train_augment=args.augment, val_augment=args.val_augment,
@@ -463,13 +466,8 @@ def run_generate(args) -> None:
         print(f"✓ Generated dataset -> {out}")
         return
 
-    texts = None
-    if args.train_file:
-        texts = [l.rstrip("\n") for l in
-                 Path(args.train_file).read_text(encoding="utf-8").splitlines()
-                 if l.strip()]
-    labels = gen.generate_dataset(args.num_samples, texts=texts,
-                                  append=args.append)
+    # Random-text mode (no reference equivalent): flat images/ + labels.txt.
+    labels = gen.generate_dataset(args.num_samples, append=args.append)
     print(f"✓ Generated {args.num_samples} samples -> {labels}")
 
 
@@ -543,10 +541,17 @@ def run_train_detector(args) -> None:
                          else "checkpoints_craft"))
     steps = args.steps
     if args.epochs and args.data_yaml:
-        from .data.docsynth import load_detector_batches
-
-        n_batches = len(load_detector_batches(args.data_yaml, args.detector,
-                                              args.batch_size))
+        # Count batches from the annotation index alone — loading every
+        # image/GT map here would duplicate the trainer's own load.
+        root = Path(args.data_yaml)
+        if root.suffix in (".yaml", ".yml", ".json"):
+            root = root.parent
+        for cand in (root, root / "train"):
+            if (cand / "annotations.json").exists():
+                root = cand
+                break
+        n_docs = len(json.loads((root / "annotations.json").read_text()))
+        n_batches = max(1, (n_docs + args.batch_size - 1) // args.batch_size)
         steps = args.epochs * n_batches
         print(f"ℹ {args.epochs} epochs x {n_batches} batches = {steps} steps")
     if args.detector == "db":

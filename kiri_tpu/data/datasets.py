@@ -130,7 +130,14 @@ def load_hf_dataset(names: Sequence[str], image_col: str = "image",
             try:
                 val = _load(name, split)
                 break
-            except Exception:
+            except Exception as e:
+                # Broad fallback matches the reference (training.py:395-402),
+                # but an explicitly-requested split failing deserves a trace —
+                # an auth/network error here would otherwise silently swap
+                # the user's validation set for an auto-split.
+                if split == val_split:
+                    print(f"⚠ val split '{val_split}' of {name} failed "
+                          f"({type(e).__name__}: {e}); trying fallbacks")
                 continue
         if val is None:
             if streaming:

@@ -53,7 +53,10 @@ class FontManager:
                  sizes: Sequence[int] = (24, 28, 32, 36, 40, 44),
                  allow_pseudo: bool = True):
         self.sizes = list(sizes)
-        self.font_paths = self._discover(font_dirs or _FONT_DIRS)
+        # font_dirs=[] means "no discovery" (single-font callers); only
+        # None falls back to the system search path.
+        self.font_paths = self._discover(
+            font_dirs if font_dirs is not None else _FONT_DIRS)
         self._cache: Dict[Tuple[str, int], ImageFont.FreeTypeFont] = {}
         self.english_fonts = [p for p in self.font_paths
                               if self._supports(p, "Ag1")]
@@ -342,6 +345,10 @@ class DatasetGenerator:
             img = self.renderer.render(text, font, self.rng)
         except Exception:
             return None
+        return self._cap_width(img)
+
+    def _cap_width(self, img: Optional[np.ndarray]) -> Optional[np.ndarray]:
+        """Aspect-resize renders wider than ``max_width`` down to fit."""
         if self.max_width and img is not None and img.shape[1] > self.max_width:
             h = max(1, int(img.shape[0] * self.max_width / img.shape[1]))
             img = np.asarray(Image.fromarray(img).resize(
@@ -362,7 +369,11 @@ class DatasetGenerator:
         lines = [l.strip() for l in
                  Path(train_file).read_text(encoding="utf-8").splitlines()
                  if l.strip()]
-        if val_file and Path(val_file).exists():
+        if val_file:
+            # An explicitly-given path must exist — silently auto-splitting
+            # instead would discard the user's intended validation corpus.
+            if not Path(val_file).exists():
+                raise FileNotFoundError(f"val_file not found: {val_file}")
             val_lines = [l.strip() for l in
                          Path(val_file).read_text(encoding="utf-8").splitlines()
                          if l.strip()]
@@ -383,33 +394,40 @@ class DatasetGenerator:
         (out_dir / "images").mkdir(parents=True, exist_ok=True)
         base_augment = self.renderer.augment
         i = 0
-        with (out_dir / "labels.txt").open("w", encoding="utf-8") as f:
-            for text in lines:
-                if font_mode == "all":
-                    pool = (self.fonts.khmer_fonts if _is_khmer(text)
-                            else self.fonts.english_fonts) or self.fonts.font_paths
-                else:
-                    pool = [None]  # random pick per copy via generate_one
-                for _ in range(max(1, augment_factor)):
-                    for fpath in pool:
-                        if random_augment:
-                            self.renderer.augment = self.rng.random() < 0.5
-                        if fpath is None:
-                            img = self.generate_one(text)
-                        else:
-                            try:
-                                font = self.fonts.get(
-                                    fpath, self.rng.choice(self.fonts.sizes))
-                                img = self.renderer.render(text, font, self.rng)
-                            except Exception:
-                                img = None
-                        if img is None:
-                            continue
-                        name = f"img_{i:06d}.png"
-                        Image.fromarray(img).save(out_dir / "images" / name)
-                        f.write(f"{name}\t{text}\n")
-                        i += 1
-        self.renderer.augment = base_augment
+        try:
+            with (out_dir / "labels.txt").open("w", encoding="utf-8") as f:
+                for text in lines:
+                    if font_mode == "all":
+                        pool = ((self.fonts.khmer_fonts if _is_khmer(text)
+                                 else self.fonts.english_fonts)
+                                or self.fonts.font_paths)
+                    else:
+                        pool = [None]  # random pick per copy via generate_one
+                    for _ in range(max(1, augment_factor)):
+                        for fpath in pool:
+                            if random_augment:
+                                self.renderer.augment = self.rng.random() < 0.5
+                            if fpath is None:
+                                img = self.generate_one(text)
+                            else:
+                                try:
+                                    font = self.fonts.get(
+                                        fpath,
+                                        self.rng.choice(self.fonts.sizes))
+                                    img = self._cap_width(
+                                        self.renderer.render(text, font,
+                                                             self.rng))
+                                except Exception:
+                                    img = None
+                            if img is None:
+                                continue
+                            name = f"img_{i:06d}.png"
+                            Image.fromarray(img).save(
+                                out_dir / "images" / name)
+                            f.write(f"{name}\t{text}\n")
+                            i += 1
+        finally:
+            self.renderer.augment = base_augment
 
     def generate_samples(self, num_samples: int,
                          texts: Optional[Sequence[str]] = None,

@@ -134,7 +134,8 @@ class RecognizerEngine:
 
         ``enhance``/``sharpen`` run the on-device adaptive crop cleanup
         (kernels/resize.enhance_lines) before the fused preprocess — the
-        device twin of the host path's ``enhance_crop``.
+        device twin of the host path's ``enhance_crop``. ``sharpen`` is a
+        bool or a per-crop bool sequence (deskew provenance per page).
         """
         if len(crops) == 0:
             return []
@@ -144,6 +145,8 @@ class RecognizerEngine:
                                      preprocess_lines)
 
         buf, sizes = pack_crops(list(crops))
+        mask = np.broadcast_to(np.asarray(sharpen, bool),
+                               (buf.shape[0],)).copy()
         bucket = D.pick_batch_bucket(self.cfg, buf.shape[0])
         if bucket > buf.shape[0]:
             pad_n = bucket - buf.shape[0]
@@ -151,9 +154,10 @@ class RecognizerEngine:
                 [buf, np.zeros((pad_n,) + buf.shape[1:], np.uint8)])
             sizes = np.concatenate(
                 [sizes, np.ones((pad_n, 2), np.int32)], axis=0)
+            mask = np.concatenate([mask, np.zeros((pad_n,), bool)])
         dbuf, dsizes = jnp.asarray(buf), jnp.asarray(sizes)
         if enhance:
-            dbuf = enhance_lines(dbuf, dsizes, sharpen=sharpen)
+            dbuf = enhance_lines(dbuf, dsizes, sharpen=jnp.asarray(mask))
         norm = preprocess_lines(dbuf, dsizes, self.cfg.IMG_H, self.cfg.IMG_W)
         return self._recognize_prepared(norm, len(crops), method)
 

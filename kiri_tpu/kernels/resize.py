@@ -183,10 +183,13 @@ def preprocess_lines(crops_u8, sizes, out_h: int, out_w: int):
     return preprocess_lines_ref(crops_u8, sizes, out_h, out_w)
 
 
-@functools.partial(jax.jit, static_argnames=("sharpen",))
 def enhance_lines(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
-                  sharpen: bool = False) -> jnp.ndarray:
+                  sharpen=False) -> jnp.ndarray:
     """Device-side twin of ``ops/preprocess.enhance_crop`` (pure XLA).
+
+    ``sharpen`` is a bool or a per-line bool array [N] — pooled multi-page
+    batches pass per-crop deskew provenance so only resampled pages'
+    crops get the unsharp repair.
 
     Same adaptive policy — strict salt-and-pepper despike, noise-gated
     gaussian blur (height >= 36), provenance-driven unsharp, percentile
@@ -199,8 +202,14 @@ def enhance_lines(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
     host's median-filter 1.4826 estimate), and percentiles are
     nearest-order-statistic. Runs before ``preprocess_lines``; u8 in/out.
     """
+    n = crops_u8.shape[0]
+    mask = jnp.broadcast_to(jnp.asarray(sharpen, bool), (n,))
+    return _enhance_lines_jit(crops_u8, sizes, mask)
 
-    def one(crop, size):
+
+@jax.jit
+def _enhance_lines_jit(crops_u8, sizes, sharpen_mask):
+    def one(crop, size, do_sharpen):
         h, w = size[0], size[1]
         hmax, wmax = crop.shape
         ys = jax.lax.broadcasted_iota(jnp.int32, (hmax, wmax), 0)
@@ -240,8 +249,8 @@ def enhance_lines(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
 
         noisy = sigma > 2.5
         f = jnp.where(noisy & (h >= 36), g, f)
-        if sharpen:
-            f = jnp.where(noisy, f, jnp.clip(f + 1.4 * (f - g), 0.0, 255.0))
+        f = jnp.where(do_sharpen & ~noisy,
+                      jnp.clip(f + 1.4 * (f - g), 0.0, 255.0), f)
 
         # Percentile stretch (p1/p99 as nearest order statistics).
         vals = jnp.sort(jnp.where(valid, f, jnp.inf).ravel())
@@ -253,7 +262,7 @@ def enhance_lines(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
         out = jnp.clip(jnp.round(f), 0.0, 255.0).astype(jnp.uint8)
         return jnp.where(valid, out, crop)
 
-    return jax.vmap(one)(crops_u8, sizes.astype(jnp.int32))
+    return jax.vmap(one)(crops_u8, sizes.astype(jnp.int32), sharpen_mask)
 
 
 def pack_crops(crops, pad_multiple: int = 64) -> Tuple[np.ndarray, np.ndarray]:

@@ -201,7 +201,7 @@ def enhance_crop(img: np.ndarray, noise_thresh: float = 2.5,
     ``OCR(..., enhance=True)``.
     """
     f = _despike(img.astype(np.float32))
-    if float(np.median(np.abs(f - _median3(f)))) * 1.4826 > noise_thresh:
+    if estimate_noise_sigma(f) > noise_thresh:
         if img.shape[0] >= min_blur_height:
             f = _gauss08(f)
     elif sharpen:

@@ -645,12 +645,11 @@ class OCR:
         """
         per_doc = []            # (boxes, det_confs, n_pooled_rows)
         pool_batches, pool_widths, pool_crops, pool_kept = [], [], [], []
-        pool_resampled = False  # any page deskew-resampled -> device sharpen
+        pool_resampled = []     # per-crop deskew provenance (device sharpen)
         for image_path in image_paths:
             boxes, det_confs = self._detect_boxes(image_path, mode)
             img_gray = self._load_gray(image_path)
             crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
-            pool_resampled = pool_resampled or self._crops_resampled
             if self.preprocess == "device":
                 crops, kept = [], []
                 for i, box in enumerate(crop_boxes):
@@ -660,6 +659,7 @@ class OCR:
                     crops.append(to_gray(roi))
                     kept.append(i)
                 pool_crops.extend(crops)
+                pool_resampled.extend([self._crops_resampled] * len(crops))
             else:
                 batch, kept, widths = preprocess_regions(
                     self.cfg, crop_img, crop_boxes, extra_padding=5,
@@ -676,7 +676,7 @@ class OCR:
         if self.preprocess == "device":
             recognized = self.engine.recognize_crops(
                 pool_crops, self.decode_method, enhance=self.enhance,
-                sharpen=pool_resampled)
+                sharpen=np.asarray(pool_resampled, bool))
         elif pool_batches:
             recognized = self.engine.recognize_batch(
                 np.concatenate(pool_batches),

@@ -272,3 +272,61 @@ resume: true
     assert captured["cfg"].DEC_FF == 96
     assert captured["tc"].epochs == 3
     assert captured["resume"] is True
+
+
+def test_config_hf_dataset_scalar_normalized(tmp_path, monkeypatch):
+    """A YAML `hf_dataset: user/name` scalar becomes a one-element list (the
+    CLI flag is nargs='+'), not an iterable of characters."""
+    from kiri_tpu.cli import main
+
+    (tmp_path / "cfg.yaml").write_text("hf_dataset: org/my-set\nepochs: 1\n")
+    captured = {}
+
+    import kiri_tpu.data.datasets as D
+
+    def fake_load_hf(names, *a, **kw):
+        captured["names"] = names
+        raise SystemExit(0)  # stop before training
+    monkeypatch.setattr(D, "load_hf_dataset", fake_load_hf)
+    with pytest.raises(SystemExit):
+        main(["train", "--config", str(tmp_path / "cfg.yaml")])
+    assert captured["names"] == ["org/my-set"]
+
+
+def test_cli_generate_train_file_reference_layout(tmp_path):
+    """`generate -t file` (no other flags) writes the reference's
+    train/+val/ layout, not the legacy flat labels.txt."""
+    from kiri_tpu.cli import main
+
+    src = tmp_path / "lines.txt"
+    src.write_text("\n".join(f"sample line {i}" for i in range(5)))
+    main(["generate", "-t", str(src), "-o", str(tmp_path / "out"),
+          "--no-augment"])
+    assert (tmp_path / "out" / "train" / "labels.txt").exists()
+    assert (tmp_path / "out" / "val" / "labels.txt").exists()
+    assert not (tmp_path / "out" / "labels.txt").exists()
+
+
+def test_font_mode_all_respects_width_cap(tmp_path):
+    from kiri_tpu.data.synth import DatasetGenerator
+
+    src = tmp_path / "lines.txt"
+    src.write_text("a very long line of text that renders quite wide\n" * 2)
+    gen = DatasetGenerator(str(tmp_path / "out"), augment=False,
+                           max_width=100)
+    out = gen.generate_from_files(str(src), font_mode="all")
+    for split in ("train", "val"):
+        for row in (Path(out) / split / "labels.txt").read_text().splitlines():
+            name = row.split("\t")[0]
+            img = Image.open(Path(out) / split / "images" / name)
+            assert img.size[0] <= 100
+
+
+def test_missing_val_file_raises(tmp_path):
+    from kiri_tpu.data.synth import DatasetGenerator
+
+    src = tmp_path / "lines.txt"
+    src.write_text("hello\nworld\n")
+    gen = DatasetGenerator(str(tmp_path / "out"), augment=False)
+    with pytest.raises(FileNotFoundError):
+        gen.generate_from_files(str(src), val_file=str(tmp_path / "nope.txt"))

@@ -279,3 +279,19 @@ def test_enhance_lines_sharpen_gate(clean_line):
     host = enhance_crop(deg, sharpen=True).astype(np.float32)
     host_ge = float(np.abs(np.diff(host, axis=1)).mean())
     assert abs(ge(sharp) - host_ge) / host_ge < 0.05
+
+
+def test_enhance_lines_per_crop_sharpen_mask(clean_line):
+    """Pooled batches sharpen only the crops whose page was deskew-resampled."""
+    import jax.numpy as jnp
+
+    from kiri_tpu.kernels.resize import enhance_lines, pack_crops
+
+    small = np.asarray(Image.fromarray(clean_line).resize((150, 22),
+                                                          Image.BILINEAR))
+    buf, sizes = pack_crops([small, small])
+    out = np.asarray(enhance_lines(jnp.asarray(buf), jnp.asarray(sizes),
+                                   sharpen=jnp.asarray([True, False])))
+    a, b = out[0, :22, :150], out[1, :22, :150]
+    assert not np.array_equal(a, b)        # first sharpened
+    assert np.array_equal(b, small)        # second untouched
