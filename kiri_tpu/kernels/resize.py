@@ -257,7 +257,9 @@ def _enhance_lines_jit(crops_u8, sizes, sharpen_mask):
         lo = vals[((hw - 1) * 1 + 50) // 100]
         hi = vals[((hw - 1) * 99 + 50) // 100]
         rng = hi - lo
-        do = (rng > 1.0) & (rng < 200.0)
+        # hi < 240 restricts the stretch to genuinely compressed captures
+        # (see ops/preprocess.enhance_crop).
+        do = (hi < 240.0) & (rng > 1.0) & (rng < 200.0)
         f = jnp.where(do, (f - lo) / jnp.where(do, rng, 1.0) * 255.0, f)
         out = jnp.clip(jnp.round(f), 0.0, 255.0).astype(jnp.uint8)
         return jnp.where(valid, out, crop)

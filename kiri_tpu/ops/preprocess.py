@@ -207,7 +207,11 @@ def enhance_crop(img: np.ndarray, noise_thresh: float = 2.5,
     elif sharpen:
         f = np.clip(f + 1.4 * (f - _gauss08(f)), 0.0, 255.0)
     lo, hi = np.percentile(f, 1.0), np.percentile(f, 99.0)
-    if 1.0 < hi - lo < range_thresh:
+    # hi < 240 pins the stretch to genuinely compressed captures (no white
+    # anywhere): dense-ink lines can have p99-p1 < 200 with a pure-white
+    # background, and stretching those is a (measured CER-neutral but
+    # non-identity) misfire.
+    if hi < 240.0 and 1.0 < hi - lo < range_thresh:
         f = (f - lo) / (hi - lo) * 255.0
     return np.clip(f, 0.0, 255.0).astype(np.uint8)
 

@@ -295,3 +295,13 @@ def test_enhance_lines_per_crop_sharpen_mask(clean_line):
     a, b = out[0, :22, :150], out[1, :22, :150]
     assert not np.array_equal(a, b)        # first sharpened
     assert np.array_equal(b, small)        # second untouched
+
+
+def test_stretch_skips_dense_ink_full_range_lines(clean_line):
+    """A dense-ink line can have p99-p1 < 200 with a pure-white background;
+    the stretch must not fire there (hi >= 240 gate)."""
+    img = np.full((48, 96), 255, np.uint8)
+    img[10:40, 4:60] = 80  # dense mid-gray ink block
+    p1, p99 = np.percentile(img, 1), np.percentile(img, 99)
+    assert p99 - p1 < 200 and p99 >= 240  # the misfire profile
+    assert np.array_equal(enhance_crop(img), img)
