@@ -35,20 +35,43 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
+def _resample_weights(src, pos, src_len, out_len, dtype=jnp.float32):
+    """Per-element resampling weights for the interpolation matrices.
+
+    Triangle (bilinear) weights when downscaling-or-equal; Keys cubic
+    (a = -0.5, cv2's INTER_CUBIC kernel) when upscaling — small crops
+    scaled UP to model height keep crisper strokes under cubic (measured:
+    mixed-script 22 px line CER 0.0168 -> 0.0089 on the host path; this
+    keeps the device resize in step). Both are plain weight matrices, so
+    the resize stays two MXU matmuls either way.
+    """
+    d = jnp.abs(src - pos)
+    tri = jnp.maximum(0.0, 1.0 - d)
+    a = -0.5
+    cub1 = ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0
+    cub2 = a * (((d - 5.0) * d + 8.0) * d - 4.0)
+    cubic = jnp.where(d <= 1.0, cub1, jnp.where(d < 2.0, cub2, 0.0))
+    upscale = src_len.astype(dtype) < out_len
+    return jnp.where(upscale, cubic, tri)
+
+
 def _interp_matrix(out_len: int, src_len, max_src: int, dtype=jnp.float32):
-    """Bilinear interpolation matrix M [out_len, max_src]:
+    """Interpolation matrix M [out_len, max_src]:
     out[i] = sum_s M[i, s] * src[s], resampling src_len -> out_len with
-    the (i + 0.5) * scale - 0.5 convention (cv2/PIL BILINEAR)."""
+    the (i + 0.5) * scale - 0.5 convention (cv2/PIL)."""
     scale = src_len.astype(dtype) / out_len
     dst = jax.lax.broadcasted_iota(dtype, (out_len, max_src), 0)
     src = jax.lax.broadcasted_iota(dtype, (out_len, max_src), 1)
     pos = (dst + 0.5) * scale - 0.5
     pos = jnp.clip(pos, 0.0, src_len.astype(dtype) - 1.0)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(src - pos))
+    w = _resample_weights(src, pos, src_len, out_len, dtype)
     # Valid source columns only (beyond src_len contribute nothing).
     w = jnp.where(src < src_len.astype(dtype), w, 0.0)
-    # Rows re-normalized so edge clamping keeps unit mass.
-    return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-6)
+    # Rows re-normalized so edge clamping keeps unit mass (the guard keys
+    # off |sum| — cubic rows can legitimately sum below 1 near edges but
+    # never near 0).
+    s = jnp.sum(w, axis=1, keepdims=True)
+    return w / jnp.where(jnp.abs(s) < 1e-6, 1.0, s)
 
 
 # ---------------------------------------------------------------------------
@@ -84,11 +107,14 @@ def preprocess_lines_ref(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
         src = jax.lax.broadcasted_iota(jnp.float32, (out_w, wmax), 1)
         pos = (dst + 0.5) * scale - 0.5
         pos = jnp.clip(pos, 0.0, w.astype(jnp.float32) - 1.0)
-        cw = jnp.maximum(0.0, 1.0 - jnp.abs(src - pos))
+        cw = _resample_weights(src, pos, w, nw)
         cw = jnp.where(src < w.astype(jnp.float32), cw, 0.0)
-        cw = cw / jnp.maximum(jnp.sum(cw, axis=1, keepdims=True), 1e-6)
+        s = jnp.sum(cw, axis=1, keepdims=True)
+        cw = cw / jnp.where(jnp.abs(s) < 1e-6, 1.0, s)
         out = jnp.dot(resized_rows, cw.T,
                       preferred_element_type=jnp.float32)   # [H, out_w]
+        # Cubic lobes can overshoot the u8 range; clamp like the host path.
+        out = jnp.clip(out, 0.0, 255.0)
         # Pad region (x >= nw) takes gray 128.
         xs_out = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1)
         out = jnp.where(xs_out < nw, out, 128.0)
@@ -125,9 +151,10 @@ def _preprocess_kernel(sizes_ref, crop_ref, out_ref, *, out_h: int,
     dsty = jax.lax.broadcasted_iota(jnp.int32, (out_h, hmax), 0).astype(jnp.float32)
     srcy = jax.lax.broadcasted_iota(jnp.int32, (out_h, hmax), 1).astype(jnp.float32)
     posy = jnp.clip((dsty + 0.5) * scale_y - 0.5, 0.0, hf - 1.0)
-    ry = jnp.maximum(0.0, 1.0 - jnp.abs(srcy - posy))
+    ry = _resample_weights(srcy, posy, h, out_h)
     ry = jnp.where(srcy < hf, ry, 0.0)
-    ry = ry / jnp.maximum(jnp.sum(ry, axis=1, keepdims=True), 1e-6)
+    sy = jnp.sum(ry, axis=1, keepdims=True)
+    ry = ry / jnp.where(jnp.abs(sy) < 1e-6, 1.0, sy)
 
     rows = jnp.dot(ry, img, preferred_element_type=jnp.float32)  # [H, Wmax]
 
@@ -136,11 +163,14 @@ def _preprocess_kernel(sizes_ref, crop_ref, out_ref, *, out_h: int,
     dstx = jax.lax.broadcasted_iota(jnp.int32, (wmax, out_w), 1).astype(jnp.float32)
     srcx = jax.lax.broadcasted_iota(jnp.int32, (wmax, out_w), 0).astype(jnp.float32)
     posx = jnp.clip((dstx + 0.5) * scale_x - 0.5, 0.0, wf - 1.0)
-    cx = jnp.maximum(0.0, 1.0 - jnp.abs(srcx - posx))
+    cx = _resample_weights(srcx, posx, w, nw)
     cx = jnp.where(srcx < wf, cx, 0.0)
-    cx = cx / jnp.maximum(jnp.sum(cx, axis=0, keepdims=True), 1e-6)
+    sx = jnp.sum(cx, axis=0, keepdims=True)
+    cx = cx / jnp.where(jnp.abs(sx) < 1e-6, 1.0, sx)
 
     out = jnp.dot(rows, cx, preferred_element_type=jnp.float32)  # [H, out_w]
+    # Cubic lobes can overshoot the u8 range; clamp like the host path.
+    out = jnp.clip(out, 0.0, 255.0)
     xs_out = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1).astype(jnp.float32)
     out = jnp.where(xs_out < nw, out, 128.0)
     out_ref[...] = (out / 255.0 - 0.5) / 0.5
