@@ -142,7 +142,7 @@ class RecognizerEngine:
         import jax.numpy as jnp
 
         from .kernels.resize import (enhance_lines, pack_crops,
-                                     preprocess_lines)
+                                     post_blur_masked, preprocess_lines)
 
         buf, sizes = pack_crops(list(crops))
         mask = np.broadcast_to(np.asarray(sharpen, bool),
@@ -156,9 +156,16 @@ class RecognizerEngine:
                 [sizes, np.ones((pad_n, 2), np.int32)], axis=0)
             mask = np.concatenate([mask, np.zeros((pad_n,), bool)])
         dbuf, dsizes = jnp.asarray(buf), jnp.asarray(sizes)
+        small_noisy = None
         if enhance:
-            dbuf = enhance_lines(dbuf, dsizes, sharpen=jnp.asarray(mask))
-        norm = preprocess_lines(dbuf, dsizes, self.cfg.IMG_H, self.cfg.IMG_W)
+            dbuf, small_noisy = enhance_lines(dbuf, dsizes,
+                                              sharpen=jnp.asarray(mask))
+        norm = preprocess_lines(dbuf, dsizes, self.cfg.IMG_H, self.cfg.IMG_W,
+                                linear_mask=small_noisy)
+        if small_noisy is not None:
+            # Small noisy crops: linear-upscaled above, denoised here at
+            # model scale (the host path's upscale-then-blur policy).
+            norm = post_blur_masked(norm, small_noisy)
         return self._recognize_prepared(norm, len(crops), method)
 
     def _recognize_prepared(self, imgs, n: int, method: str

@@ -35,7 +35,8 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _resample_weights(src, pos, src_len, out_len, dtype=jnp.float32):
+def _resample_weights(src, pos, src_len, out_len, dtype=jnp.float32,
+                      allow_cubic=True):
     """Per-element resampling weights for the interpolation matrices.
 
     Triangle (bilinear) weights when downscaling-or-equal; Keys cubic
@@ -51,11 +52,12 @@ def _resample_weights(src, pos, src_len, out_len, dtype=jnp.float32):
     cub1 = ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0
     cub2 = a * (((d - 5.0) * d + 8.0) * d - 4.0)
     cubic = jnp.where(d <= 1.0, cub1, jnp.where(d < 2.0, cub2, 0.0))
-    upscale = src_len.astype(dtype) < out_len
+    upscale = (src_len.astype(dtype) < out_len) & allow_cubic
     return jnp.where(upscale, cubic, tri)
 
 
-def _interp_matrix(out_len: int, src_len, max_src: int, dtype=jnp.float32):
+def _interp_matrix(out_len: int, src_len, max_src: int, dtype=jnp.float32,
+                   allow_cubic=True):
     """Interpolation matrix M [out_len, max_src]:
     out[i] = sum_s M[i, s] * src[s], resampling src_len -> out_len with
     the (i + 0.5) * scale - 0.5 convention (cv2/PIL)."""
@@ -64,7 +66,7 @@ def _interp_matrix(out_len: int, src_len, max_src: int, dtype=jnp.float32):
     src = jax.lax.broadcasted_iota(dtype, (out_len, max_src), 1)
     pos = (dst + 0.5) * scale - 0.5
     pos = jnp.clip(pos, 0.0, src_len.astype(dtype) - 1.0)
-    w = _resample_weights(src, pos, src_len, out_len, dtype)
+    w = _resample_weights(src, pos, src_len, out_len, dtype, allow_cubic)
     # Valid source columns only (beyond src_len contribute nothing).
     w = jnp.where(src < src_len.astype(dtype), w, 0.0)
     # Rows re-normalized so edge clamping keeps unit mass (the guard keys
@@ -79,11 +81,16 @@ def _interp_matrix(out_len: int, src_len, max_src: int, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def preprocess_lines_ref(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
-                         out_h: int, out_w: int) -> jnp.ndarray:
+                         out_h: int, out_w: int,
+                         linear_mask=None) -> jnp.ndarray:
     """crops_u8 [N, Hmax, Wmax] u8 (top-left valid region per sizes [N, 2]
-    = (h, w)); returns normalized f32 [N, out_h, out_w]."""
+    = (h, w)); returns normalized f32 [N, out_h, out_w]. ``linear_mask``
+    [N] bool forces triangle (linear) upscale weights per line — used for
+    noisy crops whose noise a cubic upscale would crisp back."""
+    if linear_mask is None:
+        linear_mask = jnp.zeros((crops_u8.shape[0],), bool)
 
-    def one(crop, size):
+    def one(crop, size, lin):
         h, w = size[0], size[1]
         img = crop.astype(jnp.float32)
         # Mean over the valid region; invert when dark (core.py:524-526).
@@ -97,7 +104,7 @@ def preprocess_lines_ref(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
         # Output content width nw = round(w * out_h / h), clipped to out_w.
         nw = jnp.clip(jnp.round(w * out_h / jnp.maximum(1, h)), 1,
                       out_w).astype(jnp.int32)
-        ry = _interp_matrix(out_h, h, hmax)                  # [H, Hmax]
+        ry = _interp_matrix(out_h, h, hmax, allow_cubic=~lin)  # [H, Hmax]
         resized_rows = jnp.dot(ry, img,
                                preferred_element_type=jnp.float32)
         # Column matrix maps w -> out_w but only the first nw columns are
@@ -107,7 +114,7 @@ def preprocess_lines_ref(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
         src = jax.lax.broadcasted_iota(jnp.float32, (out_w, wmax), 1)
         pos = (dst + 0.5) * scale - 0.5
         pos = jnp.clip(pos, 0.0, w.astype(jnp.float32) - 1.0)
-        cw = _resample_weights(src, pos, w, nw)
+        cw = _resample_weights(src, pos, w, nw, allow_cubic=~lin)
         cw = jnp.where(src < w.astype(jnp.float32), cw, 0.0)
         s = jnp.sum(cw, axis=1, keepdims=True)
         cw = cw / jnp.where(jnp.abs(s) < 1e-6, 1.0, s)
@@ -120,7 +127,7 @@ def preprocess_lines_ref(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
         out = jnp.where(xs_out < nw, out, 128.0)
         return (out / 255.0 - 0.5) / 0.5
 
-    return jax.vmap(one)(crops_u8, sizes)
+    return jax.vmap(one)(crops_u8, sizes, linear_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -131,6 +138,7 @@ def _preprocess_kernel(sizes_ref, crop_ref, out_ref, *, out_h: int,
     i = pl.program_id(0)
     h = sizes_ref[i, 0]
     w = sizes_ref[i, 1]
+    allow_cubic = sizes_ref[i, 2] == 0
 
     # Mosaic has no direct u8 -> f32 cast; hop through int32.
     img = crop_ref[...].astype(jnp.int32).astype(jnp.float32)  # [Hmax, Wmax]
@@ -151,7 +159,7 @@ def _preprocess_kernel(sizes_ref, crop_ref, out_ref, *, out_h: int,
     dsty = jax.lax.broadcasted_iota(jnp.int32, (out_h, hmax), 0).astype(jnp.float32)
     srcy = jax.lax.broadcasted_iota(jnp.int32, (out_h, hmax), 1).astype(jnp.float32)
     posy = jnp.clip((dsty + 0.5) * scale_y - 0.5, 0.0, hf - 1.0)
-    ry = _resample_weights(srcy, posy, h, out_h)
+    ry = _resample_weights(srcy, posy, h, out_h, allow_cubic=allow_cubic)
     ry = jnp.where(srcy < hf, ry, 0.0)
     sy = jnp.sum(ry, axis=1, keepdims=True)
     ry = ry / jnp.where(jnp.abs(sy) < 1e-6, 1.0, sy)
@@ -163,7 +171,7 @@ def _preprocess_kernel(sizes_ref, crop_ref, out_ref, *, out_h: int,
     dstx = jax.lax.broadcasted_iota(jnp.int32, (wmax, out_w), 1).astype(jnp.float32)
     srcx = jax.lax.broadcasted_iota(jnp.int32, (wmax, out_w), 0).astype(jnp.float32)
     posx = jnp.clip((dstx + 0.5) * scale_x - 0.5, 0.0, wf - 1.0)
-    cx = _resample_weights(srcx, posx, w, nw)
+    cx = _resample_weights(srcx, posx, w, nw, allow_cubic=allow_cubic)
     cx = jnp.where(srcx < wf, cx, 0.0)
     sx = jnp.sum(cx, axis=0, keepdims=True)
     cx = cx / jnp.where(jnp.abs(sx) < 1e-6, 1.0, sx)
@@ -179,10 +187,13 @@ def _preprocess_kernel(sizes_ref, crop_ref, out_ref, *, out_h: int,
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "interpret"))
 def preprocess_lines_tpu(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
                          out_h: int, out_w: int,
-                         interpret: bool = False) -> jnp.ndarray:
-    """Pallas version of ``preprocess_lines_ref`` (grid over lines)."""
+                         interpret: bool = False,
+                         linear_mask=None) -> jnp.ndarray:
+    """Pallas version of ``preprocess_lines_ref`` (grid over lines).
+    ``linear_mask`` rides along as a third scalar-prefetch column."""
     if not _HAS_PALLAS:
-        return preprocess_lines_ref(crops_u8, sizes, out_h, out_w)
+        return preprocess_lines_ref(crops_u8, sizes, out_h, out_w,
+                                    linear_mask)
     n, hmax, wmax = crops_u8.shape
     kernel = functools.partial(_preprocess_kernel, out_h=out_h, out_w=out_w,
                                hmax=hmax, wmax=wmax)
@@ -201,16 +212,40 @@ def preprocess_lines_tpu(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.float32),
         interpret=interpret,
-    )(sizes.astype(jnp.int32), crops_u8)
+    )(_sizes_with_mask(sizes, linear_mask, n), crops_u8)
 
 
-def preprocess_lines(crops_u8, sizes, out_h: int, out_w: int):
+def _sizes_with_mask(sizes, linear_mask, n):
+    """[N,2] (h,w) + per-line linear flag -> [N,3] scalar-prefetch array."""
+    lin = (jnp.zeros((n, 1), jnp.int32) if linear_mask is None
+           else jnp.asarray(linear_mask).astype(jnp.int32)[:, None])
+    return jnp.concatenate([sizes.astype(jnp.int32), lin], axis=1)
+
+
+def preprocess_lines(crops_u8, sizes, out_h: int, out_w: int,
+                     linear_mask=None):
     """Backend dispatcher: Pallas kernel on TPU, pure-JAX twin elsewhere
     (Pallas only supports interpret mode on the CPU backend)."""
     backend = jax.default_backend()
     if _HAS_PALLAS and backend not in ("cpu",):
-        return preprocess_lines_tpu(crops_u8, sizes, out_h, out_w)
-    return preprocess_lines_ref(crops_u8, sizes, out_h, out_w)
+        return preprocess_lines_tpu(crops_u8, sizes, out_h, out_w,
+                                    linear_mask=linear_mask)
+    return preprocess_lines_ref(crops_u8, sizes, out_h, out_w, linear_mask)
+
+
+@jax.jit
+def post_blur_masked(norm, mask):
+    """Sigma-0.8 separable gaussian on masked rows of a normalized
+    [N, H, W] batch — the device half of the small-noisy-crop policy:
+    LINEAR-upscale (via linear_mask) then denoise at model scale."""
+    x = jnp.arange(-2, 3, dtype=norm.dtype)
+    k = jnp.exp(-x * x / (2 * 0.8 ** 2))
+    k = k / k.sum()
+    p = jnp.pad(norm, ((0, 0), (2, 2), (0, 0)), mode="edge")
+    g = sum(k[i] * p[:, i: i + norm.shape[1]] for i in range(5))
+    p = jnp.pad(g, ((0, 0), (0, 0), (2, 2)), mode="edge")
+    g = sum(k[i] * p[:, :, i: i + norm.shape[2]] for i in range(5))
+    return jnp.where(mask[:, None, None], g, norm)
 
 
 def enhance_lines(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
@@ -231,6 +266,12 @@ def enhance_lines(crops_u8: jnp.ndarray, sizes: jnp.ndarray,
     estimated from mean-filter residuals (scale 1.398 calibrates it to the
     host's median-filter 1.4826 estimate), and percentiles are
     nearest-order-statistic. Runs before ``preprocess_lines``; u8 in/out.
+
+    Returns ``(crops, small_noisy)``: small noisy crops cannot be blurred at
+    native scale (glyph destruction) — the caller resizes them to model
+    height with LINEAR weights (``preprocess_lines(..., linear_mask=...)``,
+    cubic would crisp the noise back) and blurs after the resize
+    (``post_blur``), mirroring the host enhance_crop's upscale-then-denoise.
     """
     n = crops_u8.shape[0]
     mask = jnp.broadcast_to(jnp.asarray(sharpen, bool), (n,))
@@ -278,6 +319,7 @@ def _enhance_lines_jit(crops_u8, sizes, sharpen_mask):
         g = sum(k[i] * ph[:, i: i + wmax] for i in range(5))
 
         noisy = sigma > 2.5
+        small_noisy = noisy & (h < 36)
         f = jnp.where(noisy & (h >= 36), g, f)
         f = jnp.where(do_sharpen & ~noisy,
                       jnp.clip(f + 1.4 * (f - g), 0.0, 255.0), f)
@@ -292,7 +334,7 @@ def _enhance_lines_jit(crops_u8, sizes, sharpen_mask):
         do = (hi < 240.0) & (rng > 1.0) & (rng < 200.0)
         f = jnp.where(do, (f - lo) / jnp.where(do, rng, 1.0) * 255.0, f)
         out = jnp.clip(jnp.round(f), 0.0, 255.0).astype(jnp.uint8)
-        return jnp.where(valid, out, crop)
+        return jnp.where(valid, out, crop), small_noisy
 
     return jax.vmap(one)(crops_u8, sizes.astype(jnp.int32), sharpen_mask)
 

@@ -181,7 +181,7 @@ def estimate_noise_sigma(img: np.ndarray) -> float:
 
 def enhance_crop(img: np.ndarray, noise_thresh: float = 2.5,
                  range_thresh: float = 200.0, min_blur_height: int = 36,
-                 sharpen: bool = False) -> np.ndarray:
+                 sharpen: bool = False, target_h: int = 48) -> np.ndarray:
     """Adaptive cleanup for degraded line crops (uint8 in, uint8 out).
 
     Conditional repairs, each a no-op on clean input:
@@ -193,8 +193,11 @@ def enhance_crop(img: np.ndarray, noise_thresh: float = 2.5,
       -> light gaussian blur (sigma 0.8). The height gate matters: at model
       scale (48 px) the blur cut noisy-crop CER 0.0441 -> 0.0019, but on
       small document-scale crops (~22 px glyphs) the same kernel destroys
-      glyph detail (0.0166 -> 0.1954 measured) while leaving the noise alone
-      costs little — so small crops skip it.
+      glyph detail (0.0166 -> 0.1954 measured). Small noisy crops are
+      instead LINEAR-upscaled to ``target_h`` first and blurred at model
+      scale (linear, not cubic: the resize path's cubic upscale crisps
+      noise right back). Measured on docsynth-noisy 22 px renders:
+      0.1358 raw-with-cubic-resize -> 0.0366.
     * ``sharpen=True`` (caller knows the crop came through a resampling
       transform, e.g. the deskew rotation) -> unsharp mask at native scale
       (amount 1.4, sigma 0.8; swept 0.6/1.0/1.4/1.8 -> 0.0398/0.0352/
@@ -212,8 +215,18 @@ def enhance_crop(img: np.ndarray, noise_thresh: float = 2.5,
     """
     f = _despike(img.astype(np.float32))
     if estimate_noise_sigma(f) > noise_thresh:
-        if img.shape[0] >= min_blur_height:
-            f = _gauss08(f)
+        if img.shape[0] < min_blur_height:
+            h, w = f.shape
+            nw = max(1, round(w * target_h / h))
+            u8 = np.clip(f, 0.0, 255.0).astype(np.uint8)
+            if _HAS_CV2:
+                f = cv2.resize(u8, (nw, target_h),
+                               interpolation=cv2.INTER_LINEAR
+                               ).astype(np.float32)
+            else:
+                f = np.asarray(Image.fromarray(u8).resize(
+                    (nw, target_h), Image.BILINEAR), np.float32)
+        f = _gauss08(f)
     elif sharpen:
         f = np.clip(f + 1.4 * (f - _gauss08(f)), 0.0, 255.0)
     lo, hi = np.percentile(f, 1.0), np.percentile(f, 99.0)
@@ -305,7 +318,7 @@ def preprocess_regions(cfg, img_gray: np.ndarray,
             continue
         roi = invert_if_dark(to_gray(roi))
         if enhance:
-            roi = enhance_crop(roi, sharpen=sharpen)
+            roi = enhance_crop(roi, sharpen=sharpen, target_h=cfg.IMG_H)
         widths.append(content_width(roi.shape, cfg.IMG_H, cfg.IMG_W))
         out.append(resize_keep_ratio_pad_np(roi, cfg.IMG_H, cfg.IMG_W))
         kept.append(i)

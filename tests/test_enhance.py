@@ -143,15 +143,19 @@ def test_pipeline_enhance_flag(tmp_path, monkeypatch, clean_line):
     assert seen and all(seen)
 
 
-def test_small_crop_skips_blur(clean_line):
-    """Document-scale noisy crops (< min_blur_height) must NOT be blurred —
-    sigma-0.8 at 22 px glyph scale destroys glyphs (CER 0.0166 -> 0.1954
-    measured)."""
+def test_small_noisy_crop_upscales_then_blurs(clean_line):
+    """Document-scale noisy crops must NOT be blurred at native scale
+    (sigma-0.8 at 22 px destroys glyphs: CER 0.0166 -> 0.1954); instead they
+    LINEAR-upscale to target_h and denoise there (0.1358 -> 0.0366 with the
+    cubic resize path)."""
     small = np.asarray(Image.fromarray(clean_line).resize((150, 22),
                                                           Image.BILINEAR))
     deg = _noisy(small, sigma=20)
-    out = enhance_crop(deg)
-    assert np.array_equal(out, deg)  # noise gate fired but height gate holds
+    out = enhance_crop(deg, target_h=48)
+    assert out.shape[0] == 48                      # upscaled to model height
+    assert estimate_noise_sigma(out) < 2.5         # denoised at model scale
+    # A clean small crop keeps its native size (no upscale detour).
+    assert enhance_crop(small, target_h=48).shape == small.shape
 
 
 def test_sharpen_repairs_resampled_crop(clean_line):
@@ -236,18 +240,33 @@ def test_enhance_lines_matches_host(clean_line):
     sp[(m < 0.003) & (sp > 200)] = 0
     crops = [clean_line, _noisy(clean_line), _low_contrast(clean_line),
              small, _noisy(small), _low_contrast(small), sp]
+    from kiri_tpu.kernels.resize import post_blur_masked, preprocess_lines
+    from kiri_tpu.ops.preprocess import resize_keep_ratio_pad_np
+
     buf, sizes = pack_crops(crops)
-    out = np.asarray(enhance_lines(jnp.asarray(buf), jnp.asarray(sizes)))
+    enh, small_noisy = enhance_lines(jnp.asarray(buf), jnp.asarray(sizes))
+    # Small noisy crops diverge at crop level BY DESIGN (host upscales
+    # inside enhance_crop, device in the resize stage) — compare at the
+    # recognition-ready tensor level, where both policies meet.
+    norm = preprocess_lines(enh, jnp.asarray(sizes), 48, 384,
+                            linear_mask=small_noisy)
+    norm = np.asarray(post_blur_masked(norm, small_noisy))
+    assert bool(np.asarray(small_noisy)[4])  # the noisy small crop flagged
     for i, c in enumerate(crops):
-        h, w = c.shape
-        dev = out[i, :h, :w].astype(np.float32)
-        host = enhance_crop(c).astype(np.float32)
-        if i == 0:  # clean stays bit-identical on both paths
-            assert np.array_equal(dev, c) and np.array_equal(host, c)
-        diff = np.abs(dev - host)
-        assert diff.mean() < 3.0, (i, diff.mean())
-        # disagreeing pixels are rare (spike-fill / percentile rounding)
-        assert (diff > 32).mean() < 0.01, (i, (diff > 32).mean())
+        host_crop = enhance_crop(c, target_h=48)
+        host = (resize_keep_ratio_pad_np(host_crop, 48, 384
+                                         ).astype(np.float32) / 255.0
+                - 0.5) / 0.5
+        dev = norm[i]
+        if i == 0:  # clean stays identical to the plain preprocess
+            plain = np.asarray(preprocess_lines(
+                jnp.asarray(buf), jnp.asarray(sizes), 48, 384))[0]
+            np.testing.assert_allclose(dev, plain, atol=1e-5)
+        diff = np.abs(dev - host) * 127.5  # back to gray-level units
+        assert diff.mean() < 6.0, (i, diff.mean())
+        # disagreeing pixels are rare (spike-fill / percentile rounding /
+        # interp-kernel family differences)
+        assert (diff > 48).mean() < 0.02, (i, (diff > 48).mean())
 
 
 def test_enhance_lines_sharpen_gate(clean_line):
@@ -265,9 +284,10 @@ def test_enhance_lines_sharpen_gate(clean_line):
     deg = arr[(h - 22) // 2:(h - 22) // 2 + 22,
               (w - 150) // 2:(w - 150) // 2 + 150]
     buf, sizes = pack_crops([deg])
-    plain = np.asarray(enhance_lines(jnp.asarray(buf), jnp.asarray(sizes)))
+    plain = np.asarray(enhance_lines(jnp.asarray(buf),
+                                     jnp.asarray(sizes))[0])
     sharp = np.asarray(enhance_lines(jnp.asarray(buf), jnp.asarray(sizes),
-                                     sharpen=True))
+                                     sharpen=True)[0])
 
     def ge(x):
         return float(np.abs(np.diff(x[0, :22, :150].astype(np.float32),
@@ -291,7 +311,7 @@ def test_enhance_lines_per_crop_sharpen_mask(clean_line):
                                                           Image.BILINEAR))
     buf, sizes = pack_crops([small, small])
     out = np.asarray(enhance_lines(jnp.asarray(buf), jnp.asarray(sizes),
-                                   sharpen=jnp.asarray([True, False])))
+                                   sharpen=jnp.asarray([True, False]))[0])
     a, b = out[0, :22, :150], out[1, :22, :150]
     assert not np.array_equal(a, b)        # first sharpened
     assert np.array_equal(b, small)        # second untouched
