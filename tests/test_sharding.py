@@ -139,3 +139,24 @@ def test_engine_multichip_inference_matches_single(tok, mp):
         assert [t for t, _ in a] == [t for t, _ in b]
         np.testing.assert_allclose([c for _, c in a], [c for _, c in b],
                                    atol=1e-4)
+
+
+def test_engine_multichip_recognize_crops_with_enhance(tok):
+    """The device-preprocess + on-device enhancement path runs on a mesh
+    engine and matches the single-device engine."""
+    from kiri_tpu.engine import RecognizerEngine
+
+    variables = R.init_recognizer(jax.random.PRNGKey(0), CFG_TINY, tok)
+    rng = np.random.default_rng(5)
+    crops = [rng.integers(0, 255, (h, w), np.uint8)
+             for h, w in ((30, 120), (22, 80), (48, 150), (40, 60))]
+
+    single = RecognizerEngine(variables, CFG_TINY, tok)
+    multi = RecognizerEngine(variables, CFG_TINY, tok, mesh=make_mesh(8))
+    a = single.recognize_crops(crops, "ctc", enhance=True,
+                               sharpen=np.array([True, False, False, True]))
+    b = multi.recognize_crops(crops, "ctc", enhance=True,
+                              sharpen=np.array([True, False, False, True]))
+    assert [t for t, _ in a] == [t for t, _ in b]
+    np.testing.assert_allclose([c for _, c in a], [c for _, c in b],
+                               atol=1e-4)
