@@ -87,6 +87,13 @@ class CFG:
     # rest are re-decoded with beam search on the already-encoded features.
     # Most lines take the throughput path, hard lines get beam accuracy.
     AUTO_CONF_THRESHOLD: float = 0.95
+    # Speculative decode for the single-hypothesis AR paths ("decoder" /
+    # accurate mode and greedy streaming): the greedy-CTC transcript drafts
+    # the sequence and whole-suffix teacher-forced passes verify it, so a
+    # line costs ~2 full-attention dispatches instead of one KV-cached
+    # dispatch per character (ops/decode.spec_decode). Output-equivalent to
+    # the step loop; set False to force the step-by-step decoder.
+    SPEC_DECODE: bool = True
 
     def replace(self, **kw) -> "CFG":
         return dataclasses.replace(self, **kw)

@@ -273,11 +273,14 @@ class RecognizerEngine:
                                                                   ests):
             l_cap = self._step_cap(est_np, m, memp.shape[1])
             tl = jnp.asarray(np.where(est_np > 0, est_np, 0), jnp.int32)
-            dec = D.beam_search(
-                self.variables, memp, ctc, tl, conf, cfg=self.cfg, k_beam=k,
-                l_cap=l_cap, eos_id=self.tok.dec_eos,
-                unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
-                dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
+            if k == 1:
+                dec = self._launch_single_hyp(memp, ctc, ids, tl, conf, l_cap)
+            else:
+                dec = D.beam_search(
+                    self.variables, memp, ctc, tl, conf, cfg=self.cfg,
+                    k_beam=k, l_cap=l_cap, eos_id=self.tok.dec_eos,
+                    unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+                    dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
             launched.append((idxs, m, dec))
         fetched = jax.device_get(
             [(d.tokens, d.lengths, d.final_conf) for _, _, d in launched])
@@ -352,13 +355,43 @@ class RecognizerEngine:
         k = 1 if method == "decoder" else self.cfg.BEAM
         l_cap = self._step_cap(est, n, memp.shape[1])
         tl = jnp.asarray(np.where(np.asarray(est) > 0, np.asarray(est), 0), jnp.int32)
-        out = D.beam_search(
+        out = self._launch_single_hyp(memp, ctc, ids, tl, conf, l_cap) \
+            if k == 1 else D.beam_search(
             self.variables, memp, ctc, tl, conf, cfg=self.cfg, k_beam=k,
             l_cap=l_cap, eos_id=self.tok.dec_eos,
             unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
             dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
         texts, final_conf, _ = self._decode_texts(out, n)
         return list(zip(texts, final_conf.astype(float)))
+
+    def _launch_single_hyp(self, memp, ctc, ids, tl, conf, l_cap: int,
+                           raw_select: bool = False) -> D.DecodeOut:
+        """Single-hypothesis AR decode ("decoder"/accurate mode, k=1).
+
+        With cfg.SPEC_DECODE the CTC transcript drafts the output and
+        teacher-forced passes verify it (~2 dispatches per line instead of
+        one per character, same output — ops/decode.spec_decode); otherwise
+        the KV-cached step loop runs (beam_search k=1 / greedy_decode).
+        """
+        if self.cfg.SPEC_DECODE and ctc is not None and ids is not None:
+            return D.spec_decode(
+                self.variables, memp, ids, tl,
+                None if raw_select else conf, cfg=self.cfg, l_cap=l_cap,
+                eos_id=self.tok.dec_eos,
+                unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+                dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos,
+                raw_select=raw_select)
+        if raw_select:
+            return D.greedy_decode(
+                self.variables, memp, tl, cfg=self.cfg, l_cap=l_cap,
+                eos_id=self.tok.dec_eos,
+                unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+                bos_id=self.tok.dec_bos)
+        return D.beam_search(
+            self.variables, memp, ctc, tl, conf, cfg=self.cfg, k_beam=1,
+            l_cap=l_cap, eos_id=self.tok.dec_eos,
+            unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+            dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
 
     # ------------------------------------------------------------- streaming
     def stream_records(self, img_u8: np.ndarray, method: str) -> Generator[Dict, None, None]:
@@ -398,11 +431,8 @@ class RecognizerEngine:
         l_cap = self._step_cap(est, n, memp.shape[1])
         tl = jnp.asarray(np.asarray(est), jnp.int32)
         if method == "decoder":
-            out = D.greedy_decode(
-                self.variables, memp, tl, cfg=self.cfg, l_cap=l_cap,
-                eos_id=self.tok.dec_eos,
-                unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
-                bos_id=self.tok.dec_bos)
+            out = self._launch_single_hyp(memp, ctc, ids, tl, conf, l_cap,
+                                          raw_select=True)
             out = jax.device_get(out)  # ONE fused fetch for all rows
             return [list(self._stream_greedy(out, i)) for i in range(n)]
         out = D.beam_search(

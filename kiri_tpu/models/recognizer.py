@@ -298,6 +298,42 @@ def decoder_train_logits(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     return L.dense(params["dec_head"], x).astype(jnp.float32)
 
 
+def decoder_forward_heads(variables: Dict[str, Any], mem_proj: jnp.ndarray,
+                          tgt_ids: jnp.ndarray, cfg
+                          ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Eval-mode full-sequence decoder pass returning BOTH output heads.
+
+    Used by the speculative (CTC-draft) decoder: one teacher-forced pass
+    over a proposed sequence yields next-token logits at every position,
+    verifying a whole suffix per dispatch instead of one KV-cached step per
+    token. This is also the computation pattern of the reference, which
+    re-runs the full prefix every step (kiri_ocr/model.py:459-479).
+
+    tgt_ids: [B, L] decoder-space ids (bos-prefixed).
+    Returns (dec_logits [B, L, V], lm_logits [B, L, V] or None), f32.
+    """
+    params = variables["params"]
+    use_pe = variables["meta"].use_dec_pos_enc
+    dtype = compute_dtype(cfg)
+    b, lt = tgt_ids.shape
+    x = params["dec_emb"]["emb"].astype(dtype)[tgt_ids]
+    if use_pe:
+        pe = jnp.asarray(L.sinusoid_table(lt, x.shape[-1]), dtype)
+        x = x + pe[None]
+    causal = jnp.triu(jnp.ones((lt, lt), bool), k=1)[None, None]
+    mem = mem_proj.astype(dtype)
+    for lp in params["dec_layers"]:
+        x = L.decoder_layer(lp, x, mem, cfg.DEC_HEADS, causal)
+    x = L.layer_norm(params["dec_ln"], x)
+    use_lm = cfg.USE_LM and "lm_head" in params
+    fused = fuse_output_heads(params) if use_lm else None
+    if fused is not None:
+        v = params["dec_head"]["w"].shape[1]
+        both = L.dense(fused, x).astype(jnp.float32)
+        return both[..., :v], both[..., v:]
+    return L.dense(params["dec_head"], x).astype(jnp.float32), None
+
+
 # --------------------------------------------------------------------------
 # Decoder — KV-cached incremental path (inference)
 # --------------------------------------------------------------------------

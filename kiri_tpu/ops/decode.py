@@ -113,6 +113,65 @@ def apply_penalties(logp: jnp.ndarray, tokens: jnp.ndarray, t, cfg,
     return logp
 
 
+def apply_penalties_seq(logp: jnp.ndarray, tokens: jnp.ndarray, cfg,
+                        target_len: jnp.ndarray, eos_id: int,
+                        unk_dec_id: int) -> jnp.ndarray:
+    """``apply_penalties`` vectorized over every position of a sequence.
+
+    logp:   [N, L, V] fused next-token log-probs; logp[:, p] predicts the
+            token at sequence position p+1 (step t = p)
+    tokens: [N, L] the prefix buffer; tokens[:, p] is the newest token of
+            step p's prefix
+    Per position p this reproduces ``apply_penalties(logp_p, tokens, t=p)``
+    bit-for-bit (reference penalty stack: kiri_ocr/model.py:487-534),
+    including the A-B-A-B double-penalize quirk.
+    """
+    nrow, lbuf, _ = logp.shape
+    pos = jnp.arange(lbuf)[None, :]                     # t at each position
+    n = pos + 1                                         # len(seq) at step t
+    rows = jnp.broadcast_to(jnp.arange(nrow)[:, None], (nrow, lbuf))
+    cols = jnp.broadcast_to(pos, (nrow, lbuf))
+
+    if cfg.EOS_LOGP_BIAS != 0.0 or cfg.EOS_LOGP_BOOST != 0.0:
+        tl = target_len[:, None]
+        has_tl = tl > 0
+        min_len = jnp.minimum(
+            cfg.EOS_BIAS_UNTIL_LEN,
+            jnp.maximum(1, (tl.astype(jnp.float32) * 0.5).astype(jnp.int32)))
+        bias = jnp.where(
+            has_tl,
+            jnp.where(pos < min_len, -cfg.EOS_LOGP_BIAS,
+                      jnp.where(pos >= tl, cfg.EOS_LOGP_BOOST, 0.0)),
+            jnp.where(pos < cfg.EOS_BIAS_UNTIL_LEN, -cfg.EOS_LOGP_BIAS, 0.0))
+        logp = logp.at[:, :, eos_id].add(bias)
+
+    def back(k):  # tokens[:, p-k] clipped at 0 (callers gate via n)
+        idx = jnp.maximum(pos - k, 0)
+        return jnp.take_along_axis(tokens, jnp.broadcast_to(idx, (nrow, lbuf)),
+                                   axis=1)
+
+    s1, s2, s3 = back(0), back(1), back(2)
+    s4, s5, s6 = back(3), back(4), back(5)
+
+    c1 = (n >= 4) & (s1 == s2) & (s2 == s3)
+    logp = logp.at[rows, cols, s1].add(-cfg.REPEAT_LAST_PENALTY * c1)
+
+    big = (n >= 4) & (s2 == s4) & (s1 == s3)
+    logp = logp.at[rows, cols, s1].add(-cfg.REPEAT_BIGRAM_PENALTY * big)
+    logp = logp.at[rows, cols, s2].add(-cfg.REPEAT_BIGRAM_PENALTY * big)
+
+    aba = (n >= 3) & (s1 == s3) & (n >= 4) & (s2 == s4)
+    logp = logp.at[rows, cols, s1].add(-cfg.REPEAT_BIGRAM_PENALTY * aba)
+
+    tri = (n >= 6) & (s3 == s6) & (s2 == s5) & (s1 == s4)
+    logp = logp.at[rows, cols, s1].add(-cfg.REPEAT_TRIGRAM_PENALTY * tri)
+    logp = logp.at[rows, cols, s2].add(-cfg.REPEAT_TRIGRAM_PENALTY * tri)
+    logp = logp.at[rows, cols, s3].add(-cfg.REPEAT_TRIGRAM_PENALTY * tri)
+
+    logp = logp.at[:, :, unk_dec_id].add(-cfg.UNK_LOGP_PENALTY)
+    return logp
+
+
 def _fused_logp(dec_logits, lm_logits, cfg):
     logp = jax.nn.log_softmax(dec_logits, axis=-1)
     if lm_logits is not None and cfg.USE_LM and cfg.USE_LM_FUSION_EVAL:
@@ -356,6 +415,165 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     return DecodeOut(best_tokens, best_len, best_dec_conf, final_conf, ctc_conf,
                      hist["tokens"], hist["len"], hist["score"], hist["fin"],
                      steps_done, hist["extra"])
+
+
+# ==========================================================================
+# Speculative decode (CTC-drafted) for the single-hypothesis AR paths
+# ==========================================================================
+@partial(jax.jit, static_argnames=("cfg", "l_cap", "eos_id", "unk_dec_id",
+                                   "dec_offset", "bos_id", "raw_select"))
+def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
+                ctc_ids: Optional[jnp.ndarray], target_len: jnp.ndarray,
+                ctc_conf: Optional[jnp.ndarray], *, cfg, l_cap: int,
+                eos_id: int = 2, unk_dec_id: int = 3, dec_offset: int = 3,
+                bos_id: int = 1, raw_select: bool = False) -> DecodeOut:
+    """Speculative AR decode: the greedy-CTC transcript drafts the output and
+    whole-suffix teacher-forced passes verify it.
+
+    Output-equivalent to the sequential single-hypothesis decoders — the
+    chosen token at every step is a deterministic function of the prefix, so
+    verifying a proposal against the per-position argmax reproduces the step
+    loop exactly (this mirrors classic speculative decoding with the CTC head
+    as the free draft model; the reference itself recomputes full-prefix
+    logits every step, kiri_ocr/model.py:459-479, so the teacher-forced
+    verification pass matches the reference computation pattern too):
+
+    * round: one ``decoder_forward_heads`` pass over the current proposal
+      (accepted prefix + remaining CTC draft) -> fused+penalized logp at
+      every position -> accept the longest prefix where the per-step choice
+      equals the proposal, then append the model's choice at the first
+      divergence (a substitution keeps the rest of the draft aligned, so the
+      next round usually accepts everything).
+    * every round accepts >= 1 token per active row, so the loop terminates
+      in <= l_cap rounds; typical lines converge in 1-2 rounds + 1 final
+      no-op verification, vs one KV-cached dispatch per character.
+
+    Selection parity targets (both preserved bit-for-bit):
+    * raw_select=False — "decoder"/accurate mode, i.e. beam search with
+      BEAM=1 (reference core.py:560-568): choice = argmax of fused+penalized
+      logp; score accumulates the chosen penalized logp.
+    * raw_select=True — greedy streaming (reference model.py:779-946):
+      choice = argmax of RAW dec logits (the reference quirk — penalties/LM
+      fusion affect only the recorded logp); hist_extra carries
+      (raw prob, token id) per step for the streaming chunk schema.
+
+    ctc_ids: [N, T] per-frame greedy CTC argmax ids (ctc id-space), or None
+             for a blank draft (the loop then degrades to one full-attention
+             pass per token, still exact).
+    """
+    n, t_mem, _ = mem_proj.shape
+    l_buf = l_cap + 2
+
+    max_steps = jnp.minimum(max_decode_steps(cfg, target_len, t_mem), l_cap)
+
+    # ---- CTC draft -> decoder-space proposal (dedup, drop blanks/pad) ----
+    # Collapse rule parity (reference model.py:109-124): skip a frame equal
+    # to the previous frame (blanks included in "previous"), then skip
+    # blank/pad ids. ctc id -> dec id is +1 (offsets 2 vs 3, tokenizer.py).
+    tokens0 = jnp.zeros((n, l_buf), jnp.int32).at[:, 0].set(bos_id)
+    if ctc_ids is not None:
+        prev = jnp.concatenate(
+            [jnp.full((n, 1), -1, ctc_ids.dtype), ctc_ids[:, :-1]], axis=1)
+        keep = (ctc_ids != prev) & (ctc_ids >= dec_offset - 1)
+        dest = jnp.cumsum(keep, axis=1)          # bos sits at 0; drafts at 1..
+        dest = jnp.where(keep & (dest < l_buf), dest, l_buf)
+        rowsT = jnp.broadcast_to(jnp.arange(n)[:, None], ctc_ids.shape)
+        tokens0 = tokens0.at[rowsT, dest].set(
+            (ctc_ids + 1).astype(jnp.int32), mode="drop")
+        draft_len = jnp.minimum(jnp.sum(keep, axis=1), l_buf - 1)
+    else:
+        draft_len = jnp.zeros((n,), jnp.int32)
+    prop_len0 = 1 + draft_len.astype(jnp.int32)
+
+    acc_len0 = jnp.ones((n,), jnp.int32)
+    score0 = jnp.zeros((n,), jnp.float32)
+    finished0 = jnp.zeros((n,), bool)
+    hist_prob0 = jnp.zeros((n, l_buf), jnp.float32)
+
+    pos = jnp.arange(l_buf)[None, :]
+    rowsN = jnp.arange(n)
+
+    def cond(state):
+        tokens, prop_len, acc_len, score, finished, hist_prob = state
+        return jnp.any(~finished & (acc_len - 1 < max_steps))
+
+    def body(state):
+        tokens, prop_len, acc_len, score, finished, hist_prob = state
+        active = ~finished & (acc_len - 1 < max_steps)
+
+        dec_logits, lm_logits = R.decoder_forward_heads(
+            variables, mem_proj, tokens, cfg)
+        logp = _fused_logp(dec_logits, lm_logits, cfg)
+        logp = apply_penalties_seq(logp, tokens, cfg, target_len,
+                                   eos_id, unk_dec_id)
+        if raw_select:
+            chosen = jnp.argmax(dec_logits, axis=-1).astype(jnp.int32)
+            chosen_prob = jnp.max(jax.nn.softmax(dec_logits, axis=-1), axis=-1)
+        else:
+            chosen = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            chosen_prob = jnp.zeros(chosen.shape, jnp.float32)
+        chosen_logp = jnp.take_along_axis(logp, chosen[..., None],
+                                          axis=-1)[..., 0]
+
+        # Accept while the choice matches the proposed next token; stop at
+        # the first divergence / end of proposal / step budget and append
+        # the model's own choice there.
+        prop_next = jnp.concatenate(
+            [tokens[:, 1:], jnp.zeros((n, 1), jnp.int32)], axis=1)
+        good = ((pos + 1 < prop_len[:, None]) & (pos < max_steps[:, None])
+                & (chosen == prop_next))
+        bad = (pos >= (acc_len - 1)[:, None]) & ~good
+        p_stop = jnp.argmax(bad, axis=1).astype(jnp.int32)
+        can_append = p_stop < max_steps
+        corr = jnp.take_along_axis(chosen, p_stop[:, None], axis=1)[:, 0]
+
+        new_acc_len = jnp.where(active,
+                                p_stop + 1 + can_append.astype(jnp.int32),
+                                acc_len)
+        stepm = ((pos >= (acc_len - 1)[:, None])
+                 & (pos < (new_acc_len - 1)[:, None]))
+        new_score = jnp.where(
+            active, score + jnp.sum(jnp.where(stepm, chosen_logp, 0.0), axis=1),
+            score)
+
+        wr = active & can_append
+        wpos = jnp.minimum(p_stop + 1, l_buf - 1)
+        old_at = jnp.take_along_axis(tokens, wpos[:, None], axis=1)[:, 0]
+        tokens = tokens.at[rowsN, wpos].set(jnp.where(wr, corr, old_at))
+        new_finished = jnp.where(wr, corr == eos_id, finished)
+        # Substitution splice: the draft tail after the corrected position
+        # stays proposed as-is, so prop_len only grows.
+        new_prop_len = jnp.where(active,
+                                 jnp.maximum(prop_len, new_acc_len), prop_len)
+        new_hist = jnp.where(active[:, None], chosen_prob, hist_prob)
+        return (tokens, new_prop_len, new_acc_len, new_score, new_finished,
+                new_hist)
+
+    tokens, prop_len, acc_len, score, finished, hist_prob = jax.lax.while_loop(
+        cond, body, (tokens0, prop_len0, acc_len0, score0, finished0,
+                     hist_prob0))
+
+    L = jnp.maximum(1, acc_len - 1).astype(jnp.float32)
+    dec_conf = jnp.clip(jnp.where(acc_len > 1, jnp.exp(score / L), 0.0),
+                        0.0, 1.0)
+    if ctc_conf is not None:
+        final_conf = 0.6 * dec_conf + 0.4 * ctc_conf
+        ctc_conf_out = ctc_conf
+    else:
+        final_conf = dec_conf
+        ctc_conf_out = jnp.zeros((n,))
+    # Greedy-streaming history: step s = prediction at position s -> token
+    # written at position s+1. All accepted prefixes are re-verified by the
+    # final round with identical logits, so the last round's stats are valid
+    # for every step.
+    hist_extra = jnp.stack(
+        [hist_prob[:, :l_cap],
+         tokens[:, 1:l_cap + 1].astype(jnp.float32)], axis=-1)
+    z2 = jnp.zeros((n, 1, l_buf), jnp.int32)
+    return DecodeOut(tokens, acc_len, dec_conf, final_conf, ctc_conf_out,
+                     z2, jnp.zeros((n, 1), jnp.int32), jnp.zeros((n, 1)),
+                     jnp.zeros((n, 1), bool),
+                     (acc_len - 1).astype(jnp.int32), hist_extra)
 
 
 # ==========================================================================

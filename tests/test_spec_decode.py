@@ -1,0 +1,186 @@
+"""Speculative (CTC-drafted) decode: output equivalence with the sequential
+single-hypothesis decoders.
+
+``spec_decode`` must reproduce, bit-for-bit at the text level:
+* the "decoder"/accurate path = beam search with BEAM=1 (reference
+  core.py:560-568 — penalized+fused argmax selection), and
+* the greedy streaming path (reference model.py:779-946 — raw-logits argmax
+  quirk) including the per-step (prob, token) history records.
+
+Random-weight models exercise divergent drafts (CTC and AR heads are
+unrelated at init, so nearly every draft token mismatches and the round loop
+degenerates to its worst case); the trained-flagship corpus parity lives in
+test_parity_corpus.py.
+"""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kiri_tpu.config import CFG
+from kiri_tpu.engine import RecognizerEngine
+from kiri_tpu.models import recognizer as R
+from kiri_tpu.ops import decode as D
+from kiri_tpu.tokenizer import CharTokenizer
+
+CFG_TINY = CFG(ENC_DIM=32, ENC_LAYERS=1, ENC_FF=64, ENC_HEADS=4,
+               DEC_DIM=32, DEC_LAYERS=1, DEC_FF=64, DEC_HEADS=4,
+               IMG_H=48, IMG_W=160, COMPUTE_DTYPE="float32",
+               BATCH_BUCKETS=(1, 2, 4, 8), STEP_BUCKETS=(16, 32, 64))
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("spec")
+    vocab = {"<unk>": 0}
+    for i, ch in enumerate("abcde "):
+        vocab[ch] = i + 1
+    vp = tmp / "vocab.json"
+    vp.write_text(json.dumps(vocab))
+    tok = CharTokenizer(str(vp), CFG_TINY)
+    variables = R.init_recognizer(jax.random.PRNGKey(0), CFG_TINY, tok)
+    return variables, tok
+
+
+def _encode(variables, tok, seed, n=6):
+    imgs = np.random.default_rng(seed).integers(
+        0, 255, (n, 48, 160), dtype=np.uint8)
+    eng = RecognizerEngine(variables, CFG_TINY, tok)
+    memp, ctc, ids, conf, est, _ = eng.encode_batch(imgs)
+    return eng, memp, ctc, ids, conf, est
+
+
+def _texts(tok, out, n):
+    res = []
+    tokens, lengths = np.asarray(out.tokens), np.asarray(out.lengths)
+    if tokens.ndim == 3:  # not expected here
+        raise AssertionError
+    for i in range(n):
+        ids = tokens[i, 1:lengths[i]]
+        eos = np.nonzero(ids == tok.dec_eos)[0]
+        if eos.size:
+            ids = ids[: eos[0]]
+        res.append(tok.decode_dec(ids))
+    return res
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_spec_matches_beam1(setup, seed):
+    """Penalized-selection spec == beam_search k=1 (the accurate path)."""
+    variables, tok = setup
+    eng, memp, ctc, ids, conf, est = _encode(variables, tok, seed)
+    est_np = np.asarray(est)
+    n = memp.shape[0]
+    l_cap = eng._step_cap(est_np, n, memp.shape[1])
+    tl = jnp.asarray(np.where(est_np > 0, est_np, 0), jnp.int32)
+    kw = dict(cfg=CFG_TINY, l_cap=l_cap, eos_id=tok.dec_eos,
+              unk_dec_id=tok.unk_id + tok.dec_offset,
+              dec_offset=tok.dec_offset, bos_id=tok.dec_bos)
+    ref = D.beam_search(variables, memp, ctc, tl, conf, k_beam=1, **kw)
+    spec = D.spec_decode(variables, memp, ids, tl, conf, **kw)
+    assert _texts(tok, spec, n) == _texts(tok, ref, n)
+    np.testing.assert_array_equal(np.asarray(spec.lengths),
+                                  np.asarray(ref.lengths))
+    np.testing.assert_allclose(np.asarray(spec.dec_conf),
+                               np.asarray(ref.dec_conf), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(spec.final_conf),
+                               np.asarray(ref.final_conf), atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_spec_matches_greedy_stream(setup, seed):
+    """Raw-argmax spec == greedy_decode, including per-step history."""
+    variables, tok = setup
+    eng, memp, ctc, ids, conf, est = _encode(variables, tok, seed)
+    est_np = np.asarray(est)
+    n = memp.shape[0]
+    l_cap = eng._step_cap(est_np, n, memp.shape[1])
+    tl = jnp.asarray(est_np, jnp.int32)
+    ref = D.greedy_decode(variables, memp, tl, cfg=CFG_TINY, l_cap=l_cap,
+                          eos_id=tok.dec_eos,
+                          unk_dec_id=tok.unk_id + tok.dec_offset,
+                          bos_id=tok.dec_bos)
+    spec = D.spec_decode(variables, memp, ids, tl, None, cfg=CFG_TINY,
+                         l_cap=l_cap, eos_id=tok.dec_eos,
+                         unk_dec_id=tok.unk_id + tok.dec_offset,
+                         dec_offset=tok.dec_offset, bos_id=tok.dec_bos,
+                         raw_select=True)
+    assert _texts(tok, spec, n) == _texts(tok, ref, n)
+    steps_r = np.asarray(ref.hist_steps)
+    steps_s = np.asarray(spec.hist_steps)
+    np.testing.assert_array_equal(steps_s, steps_r)
+    er, es = np.asarray(ref.hist_extra), np.asarray(spec.hist_extra)
+    for i in range(n):
+        s = steps_r[i]
+        np.testing.assert_array_equal(es[i, :s, 1], er[i, :s, 1])
+        np.testing.assert_allclose(es[i, :s, 0], er[i, :s, 0], atol=1e-4)
+
+
+def test_spec_empty_draft(setup):
+    """Blank CTC (all-blank frames) degrades to exact stepwise decoding."""
+    variables, tok = setup
+    eng, memp, ctc, ids, conf, est = _encode(variables, tok, 7, n=2)
+    n = memp.shape[0]
+    blank_ids = jnp.zeros_like(ids)          # all frames = blank
+    tl = jnp.zeros((n,), jnp.int32)          # no length estimate
+    l_cap = 16
+    kw = dict(cfg=CFG_TINY, l_cap=l_cap, eos_id=tok.dec_eos,
+              unk_dec_id=tok.unk_id + tok.dec_offset,
+              dec_offset=tok.dec_offset, bos_id=tok.dec_bos)
+    ref = D.beam_search(variables, memp, ctc, tl, conf, k_beam=1, **kw)
+    spec = D.spec_decode(variables, memp, blank_ids, tl, conf, **kw)
+    assert _texts(tok, spec, n) == _texts(tok, ref, n)
+    np.testing.assert_array_equal(np.asarray(spec.lengths),
+                                  np.asarray(ref.lengths))
+
+
+def test_spec_perfect_draft_single_round(setup):
+    """A draft equal to the model's own greedy output accepts in one round
+    (plus the final no-new-token round) — the steady-state fast case."""
+    variables, tok = setup
+    eng, memp, ctc, ids, conf, est = _encode(variables, tok, 11, n=4)
+    est_np = np.asarray(est)
+    n = memp.shape[0]
+    l_cap = eng._step_cap(est_np, n, memp.shape[1])
+    tl = jnp.asarray(np.where(est_np > 0, est_np, 0), jnp.int32)
+    kw = dict(cfg=CFG_TINY, l_cap=l_cap, eos_id=tok.dec_eos,
+              unk_dec_id=tok.unk_id + tok.dec_offset,
+              dec_offset=tok.dec_offset, bos_id=tok.dec_bos)
+    ref = D.beam_search(variables, memp, ctc, tl, conf, k_beam=1, **kw)
+    # Re-encode the reference output as fake CTC frames (dec id -> ctc id
+    # is -1): a draft that matches the model's choices exactly.
+    tokens, lengths = np.asarray(ref.tokens), np.asarray(ref.lengths)
+    t_frames = ids.shape[1]
+    fake = np.zeros((n, t_frames), np.int32)
+    for i in range(n):
+        seq = tokens[i, 1:lengths[i]]
+        eos = np.nonzero(seq == tok.dec_eos)[0]
+        if eos.size:
+            seq = seq[: eos[0]]
+        # interleave blanks so repeated chars survive CTC collapse
+        fake[i, 1:2 * len(seq):2] = seq - 1
+    spec = D.spec_decode(variables, memp, jnp.asarray(fake), tl, conf, **kw)
+    assert _texts(tok, spec, n) == _texts(tok, ref, n)
+
+
+def test_engine_decoder_method_uses_spec(setup):
+    """Engine "decoder" results are identical with SPEC_DECODE on and off."""
+    variables, tok = setup
+    imgs = np.random.default_rng(5).integers(
+        0, 255, (5, 48, 160), dtype=np.uint8)
+    eng_on = RecognizerEngine(variables, CFG_TINY, tok)
+    eng_off = RecognizerEngine(variables,
+                               CFG_TINY.replace(SPEC_DECODE=False), tok)
+    on = eng_on.recognize_batch(imgs, "decoder")
+    off = eng_off.recognize_batch(imgs, "decoder")
+    assert [t for t, _ in on] == [t for t, _ in off]
+    for (_, c1), (_, c2) in zip(on, off):
+        assert abs(c1 - c2) < 1e-3
+    # streaming greedy records too
+    s_on = eng_on.stream_records_batch(imgs, "decoder")
+    s_off = eng_off.stream_records_batch(imgs, "decoder")
+    for a, b in zip(s_on, s_off):
+        assert [r["token"] for r in a] == [r["token"] for r in b]
+        assert [r["text"] for r in a] == [r["text"] for r in b]
