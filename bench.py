@@ -176,6 +176,24 @@ def main() -> None:
     jax.device_get(pend)
     dev_beam_lps = BATCH * 3 / (time.perf_counter() - t0)
 
+    # Device-resident accurate ("decoder") throughput: the speculative
+    # CTC-drafted decoder (ops/decode.spec_decode) — the reference's
+    # DEFAULT decode mode, output-equivalent to its sequential AR loop.
+    skw = dict(bkw)
+    skw.pop("k_beam")
+
+    def _acc_once():
+        out = Dops.spec_decode(engine.variables, memp, ids_d, tl, conf_d,
+                               **skw)
+        return out.tokens, out.lengths
+
+    jax.device_get(_acc_once())
+    t0 = time.perf_counter()
+    for _ in range(3):
+        pend = _acc_once()
+    jax.device_get(pend)
+    dev_acc_lps = BATCH * 3 / (time.perf_counter() - t0)
+
     # p50 single-line latency (the interactive metric), bucketed batch-1.
     engine.recognize_batch(imgs[:1], "ctc", widths=widths[:1])
     lat = []
@@ -198,6 +216,7 @@ def main() -> None:
         "beam_avg_cer": round(beam_cer, 4),
         "device_resident_lines_per_sec": round(dev_lps, 2),
         "device_resident_beam_lines_per_sec": round(dev_beam_lps, 2),
+        "device_resident_accurate_lines_per_sec": round(dev_acc_lps, 2),
         "trained_checkpoint": ckpt.exists(),
         "n_lines": N_LINES,
         "batch": BATCH,

@@ -473,6 +473,31 @@ def test_flagship_beam_corpus(flagship_pair, corpus):
 
 
 @flagship_missing
+def test_flagship_accurate_corpus(flagship_pair, corpus):
+    """Accurate mode (= beam search with BEAM=1, reference core.py:560-568)
+    on trained weights. Ours runs the speculative CTC-drafted decoder
+    (cfg.SPEC_DECODE default) — this is the end-to-end proof that spec
+    decode reproduces the reference's default decode path."""
+    import dataclasses
+
+    from kiri_ocr.model import beam_decode_one_batched
+
+    engine, variables, cfg, tok, ref_model, ref_tok, ref_cfg = flagship_pair
+    assert cfg.SPEC_DECODE
+    imgs, _ = corpus
+    sel = imgs[:6]
+    _, ref_memp, ref_ctc = _ref_encode_batch(ref_model, sel)
+    ours = engine.recognize_batch(sel, "decoder")
+    ref_cfg1 = dataclasses.replace(ref_cfg, BEAM=1)
+    for i in range(len(sel)):
+        ref_text, ref_conf = beam_decode_one_batched(
+            ref_model, ref_memp[i: i + 1], ref_tok, ref_cfg1,
+            ctc_logits_1=ref_ctc[i: i + 1])
+        assert ours[i][0] == ref_text, (i, ours[i][0], ref_text)
+        assert abs(ours[i][1] - ref_conf) < 5e-2
+
+
+@flagship_missing
 @pytest.mark.parametrize("method", ["ctc", "decoder", "beam"])
 def test_flagship_streaming_chunkwise(flagship_pair, corpus, method):
     """All three streaming variants, chunk-for-chunk on trained weights
