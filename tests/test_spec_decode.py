@@ -165,6 +165,34 @@ def test_spec_perfect_draft_single_round(setup):
     assert _texts(tok, spec, n) == _texts(tok, ref, n)
 
 
+@pytest.mark.parametrize("seed", [0, 4])
+def test_spec_matches_beam1_with_eos_bias(setup, seed):
+    """Nonzero EOS bias/boost exercises the (default-dormant) EOS branch of
+    apply_penalties_seq against the step loop's apply_penalties."""
+    variables, tok = setup
+    cfg = CFG_TINY.replace(EOS_LOGP_BIAS=1.5, EOS_LOGP_BOOST=2.0,
+                           EOS_BIAS_UNTIL_LEN=3)
+    eng, memp, ctc, ids, conf, est = _encode(variables, tok, seed)
+    est_np = np.asarray(est)
+    n = memp.shape[0]
+    l_cap = eng._step_cap(est_np, n, memp.shape[1])
+    # half the rows with a CTC target length, half without (both EOS-bias
+    # formula arms)
+    tl_np = np.where(est_np > 0, est_np, 0)
+    tl_np[::2] = 0
+    tl = jnp.asarray(tl_np, jnp.int32)
+    kw = dict(cfg=cfg, l_cap=l_cap, eos_id=tok.dec_eos,
+              unk_dec_id=tok.unk_id + tok.dec_offset,
+              dec_offset=tok.dec_offset, bos_id=tok.dec_bos)
+    ref = D.beam_search(variables, memp, ctc, tl, conf, k_beam=1, **kw)
+    spec = D.spec_decode(variables, memp, ids, tl, conf, **kw)
+    assert _texts(tok, spec, n) == _texts(tok, ref, n)
+    np.testing.assert_array_equal(np.asarray(spec.lengths),
+                                  np.asarray(ref.lengths))
+    np.testing.assert_allclose(np.asarray(spec.dec_conf),
+                               np.asarray(ref.dec_conf), atol=1e-4)
+
+
 def test_engine_decoder_method_uses_spec(setup):
     """Engine "decoder" results are identical with SPEC_DECODE on and off."""
     variables, tok = setup
