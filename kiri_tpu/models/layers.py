@@ -206,10 +206,27 @@ def init_self_cache(n_layers: int, batch: int, max_len: int, n_heads: int,
     }
 
 
+def fuse_qkv(p_attn: Params) -> Params:
+    """Concatenate an MHA block's q/k/v projections into one [D, 3D] linear.
+
+    Per-column dot products are independent, so one fused matmul is
+    numerically identical to the three separate ones while costing a single
+    MXU dispatch per decode step instead of three — the step loop is
+    op-count-bound, not FLOPs-bound, at these sizes.
+    """
+    fused = {"w": jnp.concatenate(
+        [p_attn["wq"]["w"], p_attn["wk"]["w"], p_attn["wv"]["w"]], axis=1)}
+    if "b" in p_attn["wq"]:
+        fused["b"] = jnp.concatenate(
+            [p_attn["wq"]["b"], p_attn["wk"]["b"], p_attn["wv"]["b"]])
+    return fused
+
+
 def decoder_step_layer(p: Params, x: jnp.ndarray, layer_idx: int,
                        cache: Dict[str, jnp.ndarray], pos: jnp.ndarray,
                        cross_k: jnp.ndarray, cross_v: jnp.ndarray,
-                       n_heads: int, beams: int = 1
+                       n_heads: int, beams: int = 1,
+                       fused_qkv: Optional[Params] = None
                        ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One decoder layer for a single new position with KV cache.
 
@@ -221,15 +238,22 @@ def decoder_step_layer(p: Params, x: jnp.ndarray, layer_idx: int,
             instead of repeated K times, so each decode step reads the
             encoder memory K/V once per line rather than once per beam
             (the dominant HBM traffic of the beam loop).
+    fused_qkv: optional precomputed [D, 3D] self-attention projection from
+            ``fuse_qkv`` (pass from outside the decode loop).
     """
     d = x.shape[-1]
     hd = d // n_heads
     b = x.shape[0]
 
     h = layer_norm(p["ln1"], x)
-    q = _split_heads(dense(p["self_attn"]["wq"], h), n_heads)      # [B,1,H,hd]
-    k_new = _split_heads(dense(p["self_attn"]["wk"], h), n_heads)
-    v_new = _split_heads(dense(p["self_attn"]["wv"], h), n_heads)
+    if fused_qkv is not None:
+        qkv = dense(fused_qkv, h)                                  # [B,1,3D]
+        q, k_new, v_new = (_split_heads(t, n_heads)
+                           for t in jnp.split(qkv, 3, axis=-1))
+    else:
+        q = _split_heads(dense(p["self_attn"]["wq"], h), n_heads)  # [B,1,H,hd]
+        k_new = _split_heads(dense(p["self_attn"]["wk"], h), n_heads)
+        v_new = _split_heads(dense(p["self_attn"]["wv"], h), n_heads)
 
     ck = jax.lax.dynamic_update_slice(
         cache["k"], k_new[None].astype(cache["k"].dtype), (layer_idx, 0, pos, 0, 0))

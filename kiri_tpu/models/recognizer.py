@@ -372,14 +372,23 @@ def fuse_output_heads(params: Params) -> Optional[Params]:
     return fused
 
 
+def fuse_self_qkv(params: Params) -> List[Params]:
+    """Per-layer fused self-attention q/k/v projections for the step loop
+    (numerically identical; one matmul dispatch instead of three —
+    layers.fuse_qkv). Build once outside the decode loop."""
+    return [L.fuse_qkv(lp["self_attn"]) for lp in params["dec_layers"]]
+
+
 def decoder_step(variables: Dict[str, Any], tok_ids: jnp.ndarray, pos,
-                 cache, cross_kvs, cfg, beams: int = 1, fused_head=None):
+                 cache, cross_kvs, cfg, beams: int = 1, fused_head=None,
+                 fused_qkv=None):
     """One AR step. tok_ids: [B] int32, pos: scalar int32 position index.
 
     beams: static K; when >1 the cross_kvs entries are per-line (B//K rows)
     and shared across beams (see layers.decoder_step_layer). fused_head: the
-    precomputed [D, 2V] head from ``fuse_output_heads`` — pass it from
-    outside the decode loop so the concatenation isn't re-traced per step.
+    precomputed [D, 2V] head from ``fuse_output_heads``; fused_qkv: the
+    per-layer list from ``fuse_self_qkv`` — pass both from outside the
+    decode loop so the concatenations aren't re-traced per step.
 
     Returns (dec_logits [B, V] f32, lm_logits [B, V] f32 or None, cache).
     """
@@ -392,8 +401,9 @@ def decoder_step(variables: Dict[str, Any], tok_ids: jnp.ndarray, pos,
         x = x + jax.lax.dynamic_slice_in_dim(table, pos, 1, axis=0)[None]
     for i, lp in enumerate(params["dec_layers"]):
         ck, cv = cross_kvs[i]
-        x, cache = L.decoder_step_layer(lp, x, i, cache, pos, ck, cv,
-                                        cfg.DEC_HEADS, beams)
+        x, cache = L.decoder_step_layer(
+            lp, x, i, cache, pos, ck, cv, cfg.DEC_HEADS, beams,
+            fused_qkv=None if fused_qkv is None else fused_qkv[i])
     x = L.layer_norm(params["dec_ln"], x)
     use_lm = cfg.USE_LM and "lm_head" in params
     if use_lm and fused_head is not None:

@@ -215,14 +215,15 @@ def _labels_from_tokens(tokens: jnp.ndarray, lengths: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg", "k_beam", "l_cap", "record_history",
                                    "eos_id", "unk_dec_id", "dec_offset", "bos_id",
                                    "opt_shared_kv", "opt_fused_head",
-                                   "opt_identity_skip"))
+                                   "opt_identity_skip", "opt_fused_qkv"))
 def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 ctc_logits: Optional[jnp.ndarray], target_len: jnp.ndarray,
                 ctc_conf: jnp.ndarray, *, cfg, k_beam: int, l_cap: int,
                 record_history: bool = False, eos_id: int = 2,
                 unk_dec_id: int = 3, dec_offset: int = 3, bos_id: int = 1,
                 opt_shared_kv: bool = True, opt_fused_head: bool = True,
-                opt_identity_skip: bool = True) -> DecodeOut:
+                opt_identity_skip: bool = True,
+                opt_fused_qkv: bool = True) -> DecodeOut:
     """Batched beam search over N lines with K beams each.
 
     mem_proj:   [N, T, Ddec] projected encoder memory
@@ -255,6 +256,7 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
         step_beams = 1
     fused_head = (R.fuse_output_heads(variables["params"])
                   if opt_fused_head else None)
+    fused_qkv = R.fuse_self_qkv(variables["params"]) if opt_fused_qkv else None
     cache = R.init_decode_cache(cfg, n * K, l_buf)
 
     tokens0 = jnp.zeros((n, K, l_buf), jnp.int32).at[:, :, 0].set(bos_id)
@@ -289,7 +291,7 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                                      (n, K, 1)), axis=2)[..., 0]
         dec_logits, lm_logits, cache = R.decoder_step(
             variables, cur_tok.reshape(n * K), t, cache, cross_kvs, cfg,
-            beams=step_beams, fused_head=fused_head)
+            beams=step_beams, fused_head=fused_head, fused_qkv=fused_qkv)
         logp = _fused_logp(dec_logits, lm_logits, cfg)         # [N*K, V]
         tl_rep = jnp.repeat(target_len, K)
         logp = apply_penalties(logp, tokens.reshape(n * K, l_buf), t, cfg,
@@ -596,6 +598,7 @@ def greedy_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     max_steps = jnp.minimum(max_decode_steps(cfg, target_len, t_mem), l_cap)
     cross_kvs = R.decode_prepare(variables, mem_proj, cfg)
     fused_head = R.fuse_output_heads(variables["params"])
+    fused_qkv = R.fuse_self_qkv(variables["params"])
     cache = R.init_decode_cache(cfg, n, l_buf)
 
     tokens0 = jnp.zeros((n, l_buf), jnp.int32).at[:, 0].set(bos_id)
@@ -620,7 +623,7 @@ def greedy_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                                       axis=1)[:, 0]
         dec_logits, lm_logits, cache = R.decoder_step(
             variables, cur_tok, t, cache, cross_kvs, cfg,
-            fused_head=fused_head)
+            fused_head=fused_head, fused_qkv=fused_qkv)
         logp = _fused_logp(dec_logits, lm_logits, cfg)
         logp = apply_penalties(logp, tokens, t, cfg, target_len, eos_id, unk_dec_id)
 
