@@ -52,18 +52,28 @@ def main():
     combos = [
         ("r2-baseline  (all off)", dict(opt_shared_kv=False,
                                         opt_fused_head=False,
-                                        opt_identity_skip=False)),
+                                        opt_identity_skip=False,
+                                        opt_fused_qkv=False)),
         ("shared_kv only", dict(opt_shared_kv=True, opt_fused_head=False,
-                                opt_identity_skip=False)),
+                                opt_identity_skip=False,
+                                opt_fused_qkv=False)),
         ("fused_head only", dict(opt_shared_kv=False, opt_fused_head=True,
-                                 opt_identity_skip=False)),
+                                 opt_identity_skip=False,
+                                 opt_fused_qkv=False)),
         ("identity_skip only", dict(opt_shared_kv=False, opt_fused_head=False,
-                                    opt_identity_skip=True)),
-        ("shared+fused (current)", dict(opt_shared_kv=True,
-                                        opt_fused_head=True,
-                                        opt_identity_skip=False)),
-        ("all on", dict(opt_shared_kv=True, opt_fused_head=True,
-                        opt_identity_skip=True)),
+                                    opt_identity_skip=True,
+                                    opt_fused_qkv=False)),
+        ("shared+fused", dict(opt_shared_kv=True,
+                              opt_fused_head=True,
+                              opt_identity_skip=False,
+                              opt_fused_qkv=False)),
+        ("all r2 opts, no fused_qkv", dict(opt_shared_kv=True,
+                                           opt_fused_head=True,
+                                           opt_identity_skip=True,
+                                           opt_fused_qkv=False)),
+        ("all on (current)", dict(opt_shared_kv=True, opt_fused_head=True,
+                                  opt_identity_skip=True,
+                                  opt_fused_qkv=True)),
     ]
 
     texts0 = None
