@@ -94,6 +94,11 @@ class CFG:
     # dispatch per character (ops/decode.spec_decode). Output-equivalent to
     # the step loop; set False to force the step-by-step decoder.
     SPEC_DECODE: bool = True
+    # Round budget for spec_decode: a garbage draft advances ~1 token per
+    # full-attention round, so the budget caps the worst case near one
+    # step-loop's cost; rows unfinished at the budget are re-decoded with
+    # the step loop (engine fallback). Typical lines converge in 1-2 rounds.
+    SPEC_MAX_ROUNDS: int = 8
 
     def replace(self, **kw) -> "CFG":
         return dataclasses.replace(self, **kw)

@@ -92,11 +92,22 @@ class RecognizerEngine:
             self.variables, self._place(padded))
         return memp, ctc, ids, conf, est, n
 
-    def _decode_texts(self, out: D.DecodeOut, n: int) -> Tuple[List[str], np.ndarray, np.ndarray]:
-        # One transfer for all four result fields (separate np.asarray calls
-        # each pay a full round-trip on a remote backend).
-        tokens, lengths, final_conf, dec_conf = jax.device_get(
-            (out.tokens, out.lengths, out.final_conf, out.dec_conf))
+    def _decode_texts(self, out: D.DecodeOut, n: int
+                      ) -> Tuple[List[str], np.ndarray, np.ndarray,
+                                 Optional[np.ndarray]]:
+        # One transfer for all result fields (separate np.asarray calls
+        # each pay a full round-trip on a remote backend). ``converged`` is
+        # fetched in the same transfer when the decode can report it
+        # (spec_decode past its round budget).
+        conv = None
+        if out.converged is None:
+            tokens, lengths, final_conf, dec_conf = jax.device_get(
+                (out.tokens, out.lengths, out.final_conf, out.dec_conf))
+        else:
+            tokens, lengths, final_conf, dec_conf, conv = jax.device_get(
+                (out.tokens, out.lengths, out.final_conf, out.dec_conf,
+                 out.converged))
+            conv = conv[:n]
         tokens = tokens[:n]
         lengths = lengths[:n]
         # Text = tokens[1:length], stop at eos (reference: model.py:584-590).
@@ -107,7 +118,7 @@ class RecognizerEngine:
             if eos_pos.size:
                 ids = ids[: eos_pos[0]]
             texts.append(self.tok.decode_dec(ids))
-        return texts, final_conf[:n], dec_conf[:n]
+        return texts, final_conf[:n], dec_conf[:n], conv
 
     def _step_cap(self, est_len: np.ndarray, n: int, mem_len: int) -> int:
         tl = np.asarray(est_len)[:n]
@@ -272,7 +283,8 @@ class RecognizerEngine:
         for (idxs, (memp, ctc, ids, conf, est, m)), est_np in zip(pending,
                                                                   ests):
             l_cap = self._step_cap(est_np, m, memp.shape[1])
-            tl = jnp.asarray(np.where(est_np > 0, est_np, 0), jnp.int32)
+            tl_np = np.where(est_np > 0, est_np, 0).astype(np.int32)
+            tl = jnp.asarray(tl_np)
             if k == 1:
                 dec = self._launch_single_hyp(memp, ctc, ids, tl, conf, l_cap)
             else:
@@ -281,11 +293,14 @@ class RecognizerEngine:
                     k_beam=k, l_cap=l_cap, eos_id=self.tok.dec_eos,
                     unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
                     dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
-            launched.append((idxs, m, dec))
+            launched.append((idxs, m, dec, memp, ctc, conf, tl_np, l_cap))
         fetched = jax.device_get(
-            [(d.tokens, d.lengths, d.final_conf) for _, _, d in launched])
-        for (idxs, m, _), (tokens, lengths, final_conf) in zip(launched,
-                                                               fetched):
+            [(d.tokens, d.lengths, d.final_conf)
+             + (() if d.converged is None else (d.converged,))
+             for _, _, d, *_ in launched])
+        for (idxs, m, _, memp, ctc, conf, tl_np, l_cap), f in zip(launched,
+                                                                  fetched):
+            tokens, lengths, final_conf = f[0], f[1], f[2]
             for row, i in enumerate(idxs):
                 tok_ids = tokens[row, 1: lengths[row]]
                 eos_pos = np.nonzero(tok_ids == self.tok.dec_eos)[0]
@@ -293,6 +308,15 @@ class RecognizerEngine:
                     tok_ids = tok_ids[: eos_pos[0]]
                 out[i] = (self.tok.decode_dec(tok_ids),
                           float(final_conf[row]))
+            conv = f[3][:m] if len(f) > 3 else None
+            if conv is not None and not conv.all():
+                # spec_decode round budget hit (garbage drafts): step-loop
+                # re-decode for just those rows, on-device gather.
+                rows = [r for r in range(m) if not conv[r]]
+                fb = self._step_redecode(memp, ctc, tl_np, conf, rows, l_cap)
+                fb_texts, fb_conf, _, _ = self._decode_texts(fb, len(rows))
+                for r, row in enumerate(rows):
+                    out[idxs[row]] = (fb_texts[r], float(fb_conf[r]))
         return out  # type: ignore[return-value]
 
     def _launch_escalation(self, memp, ctc, conf_np, est_np, m: int):
@@ -347,22 +371,31 @@ class RecognizerEngine:
             if esc is None:
                 return results
             low, dec = esc
-            beam_texts, beam_conf, _ = self._decode_texts(dec, len(low))
+            beam_texts, beam_conf, _, _ = self._decode_texts(dec, len(low))
             for r, i in enumerate(low):
                 results[i] = (beam_texts[r], float(beam_conf[r]))
             return results
 
         k = 1 if method == "decoder" else self.cfg.BEAM
         l_cap = self._step_cap(est, n, memp.shape[1])
-        tl = jnp.asarray(np.where(np.asarray(est) > 0, np.asarray(est), 0), jnp.int32)
+        est_np = np.asarray(est)
+        tl_np = np.where(est_np > 0, est_np, 0).astype(np.int32)
+        tl = jnp.asarray(tl_np)
         out = self._launch_single_hyp(memp, ctc, ids, tl, conf, l_cap) \
             if k == 1 else D.beam_search(
             self.variables, memp, ctc, tl, conf, cfg=self.cfg, k_beam=k,
             l_cap=l_cap, eos_id=self.tok.dec_eos,
             unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
             dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
-        texts, final_conf, _ = self._decode_texts(out, n)
-        return list(zip(texts, final_conf.astype(float)))
+        texts, final_conf, _, conv = self._decode_texts(out, n)
+        results = list(zip(texts, final_conf.astype(float)))
+        if conv is not None and not conv.all():
+            rows = [i for i in range(n) if not conv[i]]
+            fb = self._step_redecode(memp, ctc, tl_np, conf, rows, l_cap)
+            fb_texts, fb_conf, _, _ = self._decode_texts(fb, len(rows))
+            for r, i in enumerate(rows):
+                results[i] = (fb_texts[r], float(fb_conf[r]))
+        return results
 
     def _launch_single_hyp(self, memp, ctc, ids, tl, conf, l_cap: int,
                            raw_select: bool = False) -> D.DecodeOut:
@@ -380,7 +413,7 @@ class RecognizerEngine:
                 eos_id=self.tok.dec_eos,
                 unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
                 dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos,
-                raw_select=raw_select)
+                raw_select=raw_select, max_rounds=self.cfg.SPEC_MAX_ROUNDS)
         if raw_select:
             return D.greedy_decode(
                 self.variables, memp, tl, cfg=self.cfg, l_cap=l_cap,
@@ -389,6 +422,34 @@ class RecognizerEngine:
                 bos_id=self.tok.dec_bos)
         return D.beam_search(
             self.variables, memp, ctc, tl, conf, cfg=self.cfg, k_beam=1,
+            l_cap=l_cap, eos_id=self.tok.dec_eos,
+            unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+            dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
+
+    def _step_redecode(self, memp, ctc, tl_np: np.ndarray, conf,
+                       rows: List[int], l_cap: int,
+                       raw_select: bool = False) -> D.DecodeOut:
+        """Re-decode the given rows with the sequential step loop — the
+        spec_decode fallback for rows past the round budget (garbage drafts).
+        Rows are gathered ON DEVICE from the chunk's encoder outputs (no
+        re-encode/re-upload), padded to a batch bucket."""
+        sel = np.asarray(rows, np.int32)
+        b2 = D.pick_batch_bucket(self.cfg, len(rows))
+        sel_dev = jnp.asarray(np.concatenate(
+            [sel, np.zeros(b2 - len(rows), np.int32)]))
+        memp2 = jnp.take(memp, sel_dev, axis=0)
+        tl2 = jnp.asarray(np.concatenate(
+            [tl_np[sel], np.zeros(b2 - len(rows), tl_np.dtype)]), jnp.int32)
+        if raw_select:
+            return D.greedy_decode(
+                self.variables, memp2, tl2, cfg=self.cfg, l_cap=l_cap,
+                eos_id=self.tok.dec_eos,
+                unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+                bos_id=self.tok.dec_bos)
+        ctc2 = jnp.take(ctc, sel_dev, axis=0) if ctc is not None else None
+        conf2 = jnp.take(conf, sel_dev, axis=0)
+        return D.beam_search(
+            self.variables, memp2, ctc2, tl2, conf2, cfg=self.cfg, k_beam=1,
             l_cap=l_cap, eos_id=self.tok.dec_eos,
             unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
             dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
@@ -429,12 +490,21 @@ class RecognizerEngine:
                     for i in range(n)]
 
         l_cap = self._step_cap(est, n, memp.shape[1])
-        tl = jnp.asarray(np.asarray(est), jnp.int32)
+        tl_np = np.asarray(est).astype(np.int32)
+        tl = jnp.asarray(tl_np)
         if method == "decoder":
             out = self._launch_single_hyp(memp, ctc, ids, tl, conf, l_cap,
                                           raw_select=True)
             out = jax.device_get(out)  # ONE fused fetch for all rows
-            return [list(self._stream_greedy(out, i)) for i in range(n)]
+            recs = [list(self._stream_greedy(out, i)) for i in range(n)]
+            conv = out.converged
+            if conv is not None and not conv[:n].all():
+                rows = [i for i in range(n) if not conv[i]]
+                fb = jax.device_get(self._step_redecode(
+                    memp, ctc, tl_np, conf, rows, l_cap, raw_select=True))
+                for r, i in enumerate(rows):
+                    recs[i] = list(self._stream_greedy(fb, r))
+            return recs
         out = D.beam_search(
             self.variables, memp, ctc, tl, conf, cfg=self.cfg,
             k_beam=self.cfg.BEAM, l_cap=l_cap, record_history=True,

@@ -47,6 +47,8 @@ class DecodeOut(NamedTuple):
     hist_finished: jnp.ndarray  # [N, S] bool
     hist_steps: jnp.ndarray    # [N] number of executed steps per line
     hist_extra: jnp.ndarray    # [N, S, 2] greedy-mode (raw prob, token id)
+    converged: Optional[jnp.ndarray] = None  # [N] bool; None = always (loops
+    # run to completion; spec_decode sets False past its round budget)
 
 
 def _gather_last(tokens: jnp.ndarray, t, back: int) -> jnp.ndarray:
@@ -423,12 +425,14 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
 # Speculative decode (CTC-drafted) for the single-hypothesis AR paths
 # ==========================================================================
 @partial(jax.jit, static_argnames=("cfg", "l_cap", "eos_id", "unk_dec_id",
-                                   "dec_offset", "bos_id", "raw_select"))
+                                   "dec_offset", "bos_id", "raw_select",
+                                   "max_rounds"))
 def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 ctc_ids: Optional[jnp.ndarray], target_len: jnp.ndarray,
                 ctc_conf: Optional[jnp.ndarray], *, cfg, l_cap: int,
                 eos_id: int = 2, unk_dec_id: int = 3, dec_offset: int = 3,
-                bos_id: int = 1, raw_select: bool = False) -> DecodeOut:
+                bos_id: int = 1, raw_select: bool = False,
+                max_rounds: int = 0) -> DecodeOut:
     """Speculative AR decode: the greedy-CTC transcript drafts the output and
     whole-suffix teacher-forced passes verify it.
 
@@ -462,6 +466,11 @@ def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     ctc_ids: [N, T] per-frame greedy CTC argmax ids (ctc id-space), or None
              for a blank draft (the loop then degrades to one full-attention
              pass per token, still exact).
+    max_rounds: 0 = run to completion. >0 bounds the worst case (a garbage
+             draft advances ~1 token per full-attention round): rows still
+             unfinished after the budget return ``converged=False`` and the
+             caller re-decodes them with the step loop (engine fallback) —
+             typical batches converge in 1-2 rounds and never trigger it.
     """
     n, t_mem, _ = mem_proj.shape
     l_buf = l_cap + 2
@@ -496,11 +505,14 @@ def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     rowsN = jnp.arange(n)
 
     def cond(state):
-        tokens, prop_len, acc_len, score, finished, hist_prob = state
-        return jnp.any(~finished & (acc_len - 1 < max_steps))
+        rounds, tokens, prop_len, acc_len, score, finished, hist_prob = state
+        alive = jnp.any(~finished & (acc_len - 1 < max_steps))
+        if max_rounds > 0:
+            alive &= rounds < max_rounds
+        return alive
 
     def body(state):
-        tokens, prop_len, acc_len, score, finished, hist_prob = state
+        rounds, tokens, prop_len, acc_len, score, finished, hist_prob = state
         active = ~finished & (acc_len - 1 < max_steps)
 
         dec_logits, lm_logits = R.decoder_forward_heads(
@@ -548,12 +560,14 @@ def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
         new_prop_len = jnp.where(active,
                                  jnp.maximum(prop_len, new_acc_len), prop_len)
         new_hist = jnp.where(active[:, None], chosen_prob, hist_prob)
-        return (tokens, new_prop_len, new_acc_len, new_score, new_finished,
-                new_hist)
+        return (rounds + 1, tokens, new_prop_len, new_acc_len, new_score,
+                new_finished, new_hist)
 
-    tokens, prop_len, acc_len, score, finished, hist_prob = jax.lax.while_loop(
-        cond, body, (tokens0, prop_len0, acc_len0, score0, finished0,
-                     hist_prob0))
+    _, tokens, prop_len, acc_len, score, finished, hist_prob = \
+        jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), tokens0, prop_len0,
+                         acc_len0, score0, finished0, hist_prob0))
+    converged = finished | (acc_len - 1 >= max_steps)
 
     L = jnp.maximum(1, acc_len - 1).astype(jnp.float32)
     dec_conf = jnp.clip(jnp.where(acc_len > 1, jnp.exp(score / L), 0.0),
@@ -575,7 +589,7 @@ def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     return DecodeOut(tokens, acc_len, dec_conf, final_conf, ctc_conf_out,
                      z2, jnp.zeros((n, 1), jnp.int32), jnp.zeros((n, 1)),
                      jnp.zeros((n, 1), bool),
-                     (acc_len - 1).astype(jnp.int32), hist_extra)
+                     (acc_len - 1).astype(jnp.int32), hist_extra, converged)
 
 
 # ==========================================================================

@@ -193,6 +193,35 @@ def test_spec_matches_beam1_with_eos_bias(setup, seed):
                                np.asarray(ref.dec_conf), atol=1e-4)
 
 
+def test_round_budget_fallback(setup):
+    """SPEC_MAX_ROUNDS=1 with random weights forces nearly every row past
+    the round budget; the engine's step-loop fallback must make results
+    identical to SPEC_DECODE=False anyway — batch, bucketed, streaming."""
+    variables, tok = setup
+    imgs = np.random.default_rng(9).integers(
+        0, 255, (5, 48, 160), dtype=np.uint8)
+    widths = np.asarray([160, 96, 160, 64, 160], np.int32)
+    eng_budget = RecognizerEngine(
+        variables, CFG_TINY.replace(SPEC_MAX_ROUNDS=1,
+                                    WIDTH_BUCKETS=(96, 160)), tok)
+    eng_off = RecognizerEngine(
+        variables, CFG_TINY.replace(SPEC_DECODE=False,
+                                    WIDTH_BUCKETS=(96, 160)), tok)
+    a = eng_budget.recognize_batch(imgs, "decoder")
+    b = eng_off.recognize_batch(imgs, "decoder")
+    assert [t for t, _ in a] == [t for t, _ in b]
+    for (_, c1), (_, c2) in zip(a, b):
+        assert abs(c1 - c2) < 1e-3
+    aw = eng_budget.recognize_batch(imgs, "decoder", widths=widths)
+    bw = eng_off.recognize_batch(imgs, "decoder", widths=widths)
+    assert [t for t, _ in aw] == [t for t, _ in bw]
+    sa = eng_budget.stream_records_batch(imgs, "decoder")
+    sb = eng_off.stream_records_batch(imgs, "decoder")
+    for ra, rb in zip(sa, sb):
+        assert [r["token"] for r in ra] == [r["token"] for r in rb]
+        assert [r["text"] for r in ra] == [r["text"] for r in rb]
+
+
 def test_engine_decoder_method_uses_spec(setup):
     """Engine "decoder" results are identical with SPEC_DECODE on and off."""
     variables, tok = setup
