@@ -179,6 +179,74 @@ class TextDetector:
                             for b, (x, y, w, h) in pairs]
         return self._detect_lines_upright(image)
 
+    def detect_lines_objects_batch(self, images) -> List[List[TextBox]]:
+        """Batched ``detect_lines_objects`` over many pages.
+
+        With the DB backend, all pages' net forwards run as grouped batched
+        dispatches (DBDetector.detect_text_batch) — one upload + one
+        compiled call per (canvas shape, batch bucket) instead of a full
+        link round-trip per page; other backends fall back to the per-page
+        loop. Per-page results are identical to the single-page API.
+
+        ``self.last_batch_state[i]`` afterwards holds this page's
+        ``(deskewed_image, deskew_boxes)`` — the batch equivalent of
+        ``last_deskewed_image`` / ``last_deskew_boxes``.
+        """
+        def _loop():
+            out, state = [], []
+            for image in images:
+                out.append(self.detect_lines_objects(image))
+                state.append((self.last_deskewed_image,
+                              self.last_deskew_boxes))
+            self.last_batch_state = state
+            return out
+
+        if not (self.method == "db" and self.db_detector is not None):
+            return _loop()
+
+        from .deskew import boxes_to_original, estimate_skew, rotate_image
+
+        preps = []  # (upright image-or-path, angle, orig hw or None)
+        for image in images:
+            img, angle = None, 0.0
+            if self.deskew:
+                img = self.legacy_detector._load_image(image)
+                if img is not None:
+                    angle = estimate_skew(img)
+            if img is not None and abs(angle) >= self.deskew_min_angle:
+                preps.append((rotate_image(img, -angle), angle,
+                              img.shape[:2]))
+            else:
+                preps.append((img if img is not None else image, 0.0, None))
+        try:
+            detected_all = self.db_detector.detect_text_batch(
+                [p[0] for p in preps])
+        except Exception as e:
+            print(f"DB batch detection failed: {e}. "
+                  f"Falling back to per-page detection.")
+            return _loop()
+
+        out, state = [], []
+        for (upright, angle, orig_hw), detected in zip(preps, detected_all):
+            boxes = self._process_boxes_objects(detected, merge=False,
+                                                skip_sort=True)
+            if angle:
+                mapped = boxes_to_original(
+                    [(b.x, b.y, b.width, b.height) for b in boxes],
+                    angle, orig_hw)
+                pairs = [(b, m) for b, m in zip(boxes, mapped)
+                         if m[2] > 0 and m[3] > 0]
+                state.append((upright, [b for b, _ in pairs]))
+                boxes = [TextBox(x, y, w, h, confidence=b.confidence,
+                                 level=b.level)
+                         for b, (x, y, w, h) in pairs]
+            else:
+                state.append((None, None))
+            self.last_skew_angle = angle
+            out.append(boxes)
+        self.last_batch_state = state
+        return out
+
     def _detect_lines_upright(self, image) -> List[TextBox]:
         if self.method == "craft" and self.craft_detector:
             try:

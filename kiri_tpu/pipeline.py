@@ -643,11 +643,29 @@ class OCR:
         ``recognize_batch`` amortizes both across the whole stack of pages.
         Returns one ``process_document``-style result list per input path.
         """
+        # Detection for ALL pages first: with the DB backend the net
+        # forwards run as grouped batched dispatches (facade
+        # detect_lines_objects_batch) — serial per-page detection is the
+        # dominant cost of pooled multi-page OCR on a link-bound host.
+        page_dets = None
+        if mode == "lines":
+            page_dets = self.detector.detect_lines_objects_batch(
+                list(image_paths))
+            batch_state = self.detector.last_batch_state
+
         per_doc = []            # (boxes, det_confs, n_pooled_rows)
         pool_batches, pool_widths, pool_crops, pool_kept = [], [], [], []
         pool_resampled = []     # per-crop deskew provenance (device sharpen)
-        for image_path in image_paths:
-            boxes, det_confs = self._detect_boxes(image_path, mode)
+        for di, image_path in enumerate(image_paths):
+            if page_dets is not None:
+                tbs = page_dets[di]
+                boxes = [b.bbox for b in tbs]
+                det_confs = [b.confidence for b in tbs]
+                # Restore this page's deskew artifacts for the crop view.
+                self.detector.last_deskewed_image = batch_state[di][0]
+                self.detector.last_deskew_boxes = batch_state[di][1]
+            else:
+                boxes, det_confs = self._detect_boxes(image_path, mode)
             img_gray = self._load_gray(image_path)
             crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
             if self.preprocess == "device":

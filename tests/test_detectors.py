@@ -340,3 +340,48 @@ def test_smart_padding_isolated_box_gets_full_target():
     ph = (padded[:, 1].max() - padded[:, 1].min()) - h0
     assert pw >= (w0 * det.padding_pct + h0 * 0.5 + det.padding_px) - 2
     assert ph >= (h0 * det.padding_y_pct + det.padding_y_px) - 2
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("models/detector.safetensors").exists(),
+    reason="trained DB checkpoint not present")
+def test_db_detect_text_batch_matches_single():
+    """Batched multi-page DB detection is bit-identical to per-page calls.
+
+    Mixed page sizes force multiple canvas groups plus a padded batch
+    bucket, so the grouping/bucketing bookkeeping in predict_maps_batch is
+    exercised, not just the trivial same-shape case."""
+    from kiri_tpu.detect.db import DBDetector
+
+    det = DBDetector("models/detector.safetensors")
+    docs = [DocumentGenerator(640, 640, seed=s).generate()["image"]
+            for s in (11, 12, 13)]
+    docs.append(DocumentGenerator(480, 640, seed=14).generate()["image"])
+    batched = det.detect_text_batch(docs)
+    for img, got in zip(docs, batched):
+        want = det.detect_text(img)
+        assert len(got) == len(want)
+        for (gb, gs), (wb, ws) in zip(got, want):
+            assert np.array_equal(gb, wb)
+            assert gs == pytest.approx(ws, abs=1e-6)
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("models/detector.safetensors").exists(),
+    reason="trained DB checkpoint not present")
+def test_facade_batch_matches_single_pages():
+    """Facade detect_lines_objects_batch == per-page detect_lines_objects,
+    including per-page deskew state captured in last_batch_state."""
+    from kiri_tpu.detect import TextDetector
+
+    det = TextDetector(method="db",
+                       model_path="models/detector.safetensors")
+    docs = [DocumentGenerator(640, 640, seed=s).generate()["image"]
+            for s in (21, 22)]
+    batched = det.detect_lines_objects_batch(docs)
+    assert len(det.last_batch_state) == len(docs)
+    for img, got in zip(docs, batched):
+        want = det.detect_lines_objects(img)
+        assert [(b.x, b.y, b.width, b.height) for b in got] == \
+               [(b.x, b.y, b.width, b.height) for b in want]
+        assert [b.confidence for b in got] == [b.confidence for b in want]
