@@ -182,11 +182,12 @@ class TextDetector:
     def detect_lines_objects_batch(self, images) -> List[List[TextBox]]:
         """Batched ``detect_lines_objects`` over many pages.
 
-        With the DB backend, all pages' net forwards run as grouped batched
-        dispatches (DBDetector.detect_text_batch) — one upload + one
-        compiled call per (canvas shape, batch bucket) instead of a full
-        link round-trip per page; other backends fall back to the per-page
-        loop. Per-page results are identical to the single-page API.
+        With the DB or CRAFT backend, all pages' net forwards run as
+        grouped batched dispatches (detect_text_batch on the backend) —
+        one upload + one compiled call per (canvas shape, batch bucket)
+        instead of a full link round-trip per page; the legacy backend
+        falls back to the per-page loop. Per-page results are identical
+        to the single-page API.
 
         ``self.last_batch_state[i]`` afterwards holds this page's
         ``(deskewed_image, deskew_boxes)`` — the batch equivalent of
@@ -201,7 +202,13 @@ class TextDetector:
             self.last_batch_state = state
             return out
 
-        if not (self.method == "db" and self.db_detector is not None):
+        if self.method == "db" and self.db_detector is not None:
+            batch_fn = self.db_detector.detect_text_batch
+            post_kwargs = dict(merge=False, skip_sort=True)
+        elif self.method == "craft" and self.craft_detector is not None:
+            batch_fn = self.craft_detector.detect_text_batch
+            post_kwargs = dict(merge=True)
+        else:
             return _loop()
 
         from .deskew import boxes_to_original, estimate_skew, rotate_image
@@ -219,17 +226,15 @@ class TextDetector:
             else:
                 preps.append((img if img is not None else image, 0.0, None))
         try:
-            detected_all = self.db_detector.detect_text_batch(
-                [p[0] for p in preps])
+            detected_all = batch_fn([p[0] for p in preps])
         except Exception as e:
-            print(f"DB batch detection failed: {e}. "
+            print(f"{self.method} batch detection failed: {e}. "
                   f"Falling back to per-page detection.")
             return _loop()
 
         out, state = [], []
         for (upright, angle, orig_hw), detected in zip(preps, detected_all):
-            boxes = self._process_boxes_objects(detected, merge=False,
-                                                skip_sort=True)
+            boxes = self._process_boxes_objects(detected, **post_kwargs)
             if angle:
                 mapped = boxes_to_original(
                     [(b.x, b.y, b.width, b.height) for b in boxes],

@@ -158,6 +158,15 @@ class CRAFTDetector:
 
         self._fwd = jax.jit(_fwd_u8)
 
+        def _fwd_u8_batch(variables, canvas_u8):
+            x = (canvas_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            region, affinity, _ = craft_forward(variables, x[..., None],
+                                                train=False)
+            return (jax.nn.sigmoid(region).astype(jnp.float16),
+                    jax.nn.sigmoid(affinity).astype(jnp.float16))
+
+        self._fwd_batch = jax.jit(_fwd_u8_batch)
+
     def _load_gray(self, image) -> np.ndarray:
         if isinstance(image, (str, Path)):
             if _HAS_CV2:
@@ -204,6 +213,9 @@ class CRAFTDetector:
         """
         gray = self._load_gray(image)
         region, affinity, ratio = self.predict_maps(gray)
+        return self._postprocess(gray, region, affinity, ratio, poly)
+
+    def _postprocess(self, gray, region, affinity, ratio, poly):
         if poly:
             boxes, polys = get_det_boxes(region, affinity,
                                          self.text_threshold,
@@ -232,6 +244,58 @@ class CRAFTDetector:
             results.append((np.stack([xs, ys], axis=1).astype(np.float32),
                             conf))
         return results
+
+    # Batch-size buckets for the multi-page forward (see DBDetector).
+    _BATCH_BUCKETS = (1, 2, 4, 8)
+
+    def predict_maps_batch(self, grays: List[np.ndarray]):
+        """Gray uint8 pages -> [(region, affinity, ratio), ...] with
+        same-canvas pages run as batched forwards: one upload + dispatch
+        + fused fetch per (canvas shape, batch bucket) group instead of a
+        serialized link round-trip per page (see DBDetector notes)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ...ops.preprocess import invert_if_dark
+
+        canvases, ratios = [], []
+        for gray in grays:
+            canvas, ratio = resize_aspect_ratio(invert_if_dark(gray),
+                                                self.canvas_size,
+                                                self.mag_ratio)
+            canvases.append(canvas)
+            ratios.append(ratio)
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, c in enumerate(canvases):
+            groups.setdefault(c.shape, []).append(i)
+        max_b = self._BATCH_BUCKETS[-1]
+        pending = []
+        for shape in sorted(groups):
+            idxs = groups[shape]
+            for s in range(0, len(idxs), max_b):
+                chunk = idxs[s: s + max_b]
+                nb = next(b for b in self._BATCH_BUCKETS if b >= len(chunk))
+                arr = np.stack([canvases[i] for i in chunk]
+                               + [canvases[chunk[-1]]] * (nb - len(chunk)))
+                reg, aff = self._fwd_batch(self.variables, jnp.asarray(arr))
+                # Slice bucket padding off ON DEVICE before the fetch.
+                pending.append((chunk, reg[:len(chunk)], aff[:len(chunk)]))
+        out: List = [None] * len(grays)
+        fetched = jax.device_get([(r, a) for _, r, a in pending])
+        for (chunk, _, _), (regs, affs) in zip(pending, fetched):
+            for r, i in enumerate(chunk):
+                out[i] = (np.asarray(regs[r], np.float32),
+                          np.asarray(affs[r], np.float32), ratios[i])
+        return out
+
+    def detect_text_batch(self, images: List, poly: bool = False
+                          ) -> List[List[Tuple[np.ndarray, float]]]:
+        """Batched ``detect_text``: same per-page results, grouped batched
+        net forwards across all pages (see predict_maps_batch)."""
+        grays = [self._load_gray(image) for image in images]
+        maps = self.predict_maps_batch(grays)
+        return [self._postprocess(gray, region, affinity, ratio, poly)
+                for gray, (region, affinity, ratio) in zip(grays, maps)]
 
 
 # ---------------------------------------------------------------------------

@@ -385,3 +385,40 @@ def test_facade_batch_matches_single_pages():
         assert [(b.x, b.y, b.width, b.height) for b in got] == \
                [(b.x, b.y, b.width, b.height) for b in want]
         assert [b.confidence for b in got] == [b.confidence for b in want]
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("models/craft.safetensors").exists(),
+    reason="trained CRAFT checkpoint not present")
+def test_craft_detect_text_batch_matches_single():
+    """Batched multi-page CRAFT detection == per-page calls (mixed page
+    sizes -> multiple canvas groups + a padded batch bucket)."""
+    from kiri_tpu.detect.craft import CRAFTDetector
+
+    det = CRAFTDetector("models/craft.safetensors")
+    docs = [DocumentGenerator(640, 640, seed=s).generate()["image"]
+            for s in (16, 17)]
+    docs.append(DocumentGenerator(480, 640, seed=18).generate()["image"])
+    batched = det.detect_text_batch(docs)
+    for img, got in zip(docs, batched):
+        want = det.detect_text(img)
+        assert len(got) == len(want)
+        for (gp, gc), (wp, wc) in zip(got, want):
+            assert np.array_equal(gp, wp)
+            assert gc == pytest.approx(wc, abs=1e-6)
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("models/craft.safetensors").exists(),
+    reason="trained CRAFT checkpoint not present")
+def test_facade_batch_matches_single_pages_craft():
+    from kiri_tpu.detect import TextDetector
+
+    det = TextDetector(method="craft", model_path="models/craft.safetensors")
+    docs = [DocumentGenerator(640, 640, seed=s).generate()["image"]
+            for s in (26, 27)]
+    batched = det.detect_lines_objects_batch(docs)
+    for img, got in zip(docs, batched):
+        want = det.detect_lines_objects(img)
+        assert [(b.x, b.y, b.width, b.height) for b in got] == \
+               [(b.x, b.y, b.width, b.height) for b in want]
