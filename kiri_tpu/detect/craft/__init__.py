@@ -248,12 +248,11 @@ class CRAFTDetector:
     # Batch-size buckets for the multi-page forward (see DBDetector).
     _BATCH_BUCKETS = (1, 2, 4, 8)
 
-    def predict_maps_batch(self, grays: List[np.ndarray]):
-        """Gray uint8 pages -> [(region, affinity, ratio), ...] with
-        same-canvas pages run as batched forwards: one upload + dispatch
-        + fused fetch per (canvas shape, batch bucket) group instead of a
-        serialized link round-trip per page (see DBDetector notes)."""
-        import jax
+    def _iter_maps_batch(self, grays: List[np.ndarray]):
+        """Yield (page index, region, affinity, ratio) as downloads land:
+        one upload + dispatch per (canvas shape, batch bucket) group, all
+        host copies started async up front so the caller's per-page CPU
+        postproc overlaps the remaining transfers (see DBDetector)."""
         import jax.numpy as jnp
 
         from ...ops.preprocess import invert_if_dark
@@ -280,22 +279,37 @@ class CRAFTDetector:
                 reg, aff = self._fwd_batch(self.variables, jnp.asarray(arr))
                 # Slice bucket padding off ON DEVICE before the fetch.
                 pending.append((chunk, reg[:len(chunk)], aff[:len(chunk)]))
-        out: List = [None] * len(grays)
-        fetched = jax.device_get([(r, a) for _, r, a in pending])
-        for (chunk, _, _), (regs, affs) in zip(pending, fetched):
+        for _, reg, aff in pending:
+            try:
+                reg.copy_to_host_async()
+                aff.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend without async
+                pass
+        for chunk, reg, aff in pending:
+            regs, affs = np.asarray(reg), np.asarray(aff)
             for r, i in enumerate(chunk):
-                out[i] = (np.asarray(regs[r], np.float32),
-                          np.asarray(affs[r], np.float32), ratios[i])
+                yield (i, regs[r].astype(np.float32),
+                       affs[r].astype(np.float32), ratios[i])
+
+    def predict_maps_batch(self, grays: List[np.ndarray]):
+        """Gray uint8 pages -> [(region, affinity, ratio), ...] via
+        grouped batched forwards (see _iter_maps_batch)."""
+        out: List = [None] * len(grays)
+        for i, region, affinity, ratio in self._iter_maps_batch(grays):
+            out[i] = (region, affinity, ratio)
         return out
 
     def detect_text_batch(self, images: List, poly: bool = False
                           ) -> List[List[Tuple[np.ndarray, float]]]:
         """Batched ``detect_text``: same per-page results, grouped batched
-        net forwards across all pages (see predict_maps_batch)."""
+        net forwards across all pages (see _iter_maps_batch); page postproc
+        overlaps later pages' downloads."""
         grays = [self._load_gray(image) for image in images]
-        maps = self.predict_maps_batch(grays)
-        return [self._postprocess(gray, region, affinity, ratio, poly)
-                for gray, (region, affinity, ratio) in zip(grays, maps)]
+        results: List = [None] * len(grays)
+        for i, region, affinity, ratio in self._iter_maps_batch(grays):
+            results[i] = self._postprocess(grays[i], region, affinity,
+                                           ratio, poly)
+        return results
 
 
 # ---------------------------------------------------------------------------

@@ -172,15 +172,17 @@ class DBDetector:
     # canvas shape share a compiled program per bucket.
     _BATCH_BUCKETS = (1, 2, 4, 8)
 
-    def predict_maps_batch(self, imgs: List[np.ndarray]):
-        """Gray uint8 pages -> [(prob map, scale info), ...] with ALL same-
-        canvas pages run through batched forwards: one upload + one dispatch
-        per (canvas shape, batch bucket) group and a single fused fetch,
-        instead of one serialized round-trip per page. This is where pooled
-        multi-document throughput comes from on a link-bound host —
-        detection is ~100 ms/page run serially (the reference runs one ONNX
-        session call per page; it has no batch API at all)."""
-        import jax
+    def _iter_maps_batch(self, imgs: List[np.ndarray]):
+        """Yield (page index, prob map, scale info) as downloads land.
+
+        ALL same-canvas pages run through batched forwards: one upload +
+        one dispatch per (canvas shape, batch bucket) group, and every
+        group's host copy is started async up front — so the caller's
+        per-page CPU postproc overlaps the remaining wire transfers.
+        This is where pooled multi-document throughput comes from on a
+        link-bound host — detection is ~100 ms/page run serially (the
+        reference runs one ONNX session call per page; it has no batch
+        API at all)."""
         import jax.numpy as jnp
 
         canvases, infos = [], []
@@ -203,20 +205,32 @@ class DBDetector:
                 probs = self._fwd_batch(self.variables, jnp.asarray(arr))
                 # Slice bucket padding off ON DEVICE before the fetch —
                 # otherwise a 6-page stack pads to 8 and the two ghost
-                # pages' full f32 prob maps ride the tunnel for nothing.
+                # pages' full prob maps ride the tunnel for nothing.
                 pending.append((chunk, probs[:len(chunk)]))
-        out: List = [None] * len(imgs)
-        for (chunk, _), probs in zip(pending,
-                                     jax.device_get([p for _, p in pending])):
+        for _, probs in pending:
+            try:
+                probs.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend without async
+                pass
+        for chunk, probs in pending:
+            arr = np.asarray(probs)
             for r, i in enumerate(chunk):
                 net_h, net_w, orig_h, orig_w = infos[i]
-                out[i] = (np.asarray(probs[r])[:net_h, :net_w]
-                          .astype(np.float32) / 65535.0, infos[i])
+                yield i, (arr[r][:net_h, :net_w].astype(np.float32)
+                          / 65535.0), infos[i]
+
+    def predict_maps_batch(self, imgs: List[np.ndarray]):
+        """Gray uint8 pages -> [(prob map, scale info), ...] via grouped
+        batched forwards (see _iter_maps_batch)."""
+        out: List = [None] * len(imgs)
+        for i, prob, info in self._iter_maps_batch(imgs):
+            out[i] = (prob, info)
         return out
 
     def detect_text_batch(self, images: List) -> List[List]:
         """Batched ``detect_text``: same per-page results, one batched
-        net forward across all pages (see predict_maps_batch)."""
+        net forward across all pages (see _iter_maps_batch); page
+        postproc runs while later pages' maps are still downloading."""
         from ...ops.preprocess import invert_if_dark
 
         grays = []
@@ -234,18 +248,18 @@ class DBDetector:
             else:
                 img = np.asarray(image)
             grays.append(invert_if_dark(self._to_gray(img)))
-        maps = self.predict_maps_batch(grays)
-        results = []
-        for pred, (net_h, net_w, orig_h, orig_w) in maps:
+        results: List = [None] * len(grays)
+        for i, pred, (net_h, net_w, orig_h, orig_w) in \
+                self._iter_maps_batch(grays):
             bitmap = (pred > self.det_db_thresh).astype(np.uint8)
             boxes, scores = self._boxes_from_bitmap(pred, bitmap,
                                                     orig_w, orig_h)
             if not boxes:
-                results.append([])
+                results[i] = []
                 continue
             padded = self._apply_smart_padding(boxes)
-            results.append(
-                self._sort_boxes_reading_order(list(zip(padded, scores))))
+            results[i] = self._sort_boxes_reading_order(
+                list(zip(padded, scores)))
         return results
 
     # ------------------------------------------------------------- postproc
