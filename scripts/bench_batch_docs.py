@@ -29,6 +29,8 @@ def main() -> None:
                     choices=["fast", "accurate", "beam", "auto"])
     ap.add_argument("--khmer-ratio", type=float, default=0.3)
     ap.add_argument("--seed", type=int, default=12000)
+    ap.add_argument("--out", default="",
+                    help="also write the result JSON to this path")
     args = ap.parse_args()
 
     from PIL import Image
@@ -82,7 +84,7 @@ def main() -> None:
         f"pooled text diverges from per-document text: {dist}/{total} chars"
     n_lines = sum(len(r) for _, r in pooled)
 
-    print(json.dumps({
+    result = {
         "decode_method": args.decode,
         "docs": args.docs,
         "lines": n_lines,
@@ -92,7 +94,10 @@ def main() -> None:
         "sequential_lines_per_sec": round(n_lines / t_seq, 2),
         "speedup": round(t_seq / t_pooled, 2),
         "khmer_ratio": args.khmer_ratio,
-    }))
+    }
+    print(json.dumps(result))
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":
