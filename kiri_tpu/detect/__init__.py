@@ -179,37 +179,41 @@ class TextDetector:
                             for b, (x, y, w, h) in pairs]
         return self._detect_lines_upright(image)
 
-    def detect_lines_objects_batch(self, images) -> List[List[TextBox]]:
-        """Batched ``detect_lines_objects`` over many pages.
+    def iter_lines_objects_batch(self, images):
+        """Yield ``(page index, TextBox list)`` over many pages, in
+        download-arrival order (NOT input order).
 
         With the DB or CRAFT backend, all pages' net forwards run as
-        grouped batched dispatches (detect_text_batch on the backend) —
+        grouped batched dispatches (iter_detect_text on the backend) —
         one upload + one compiled call per (canvas shape, batch bucket)
-        instead of a full link round-trip per page; the legacy backend
-        falls back to the per-page loop. Per-page results are identical
-        to the single-page API.
+        instead of a full link round-trip per page — and pages are
+        yielded as their maps land, so the caller's per-page CPU work
+        (cropping, preprocessing) runs under the remaining transfers.
+        The legacy backend yields from the per-page loop. Per-page
+        results are identical to the single-page API.
 
-        ``self.last_batch_state[i]`` afterwards holds this page's
+        ``self.last_batch_state[i]`` is filled when page ``i`` is
+        yielded; afterwards it holds every page's
         ``(deskewed_image, deskew_boxes)`` — the batch equivalent of
         ``last_deskewed_image`` / ``last_deskew_boxes``.
         """
-        def _loop():
-            out, state = [], []
-            for image in images:
-                out.append(self.detect_lines_objects(image))
-                state.append((self.last_deskewed_image,
-                              self.last_deskew_boxes))
-            self.last_batch_state = state
-            return out
+        images = list(images)
+        state: List = [None] * len(images)
+        self.last_batch_state = state
 
         if self.method == "db" and self.db_detector is not None:
-            batch_fn = self.db_detector.detect_text_batch
+            backend_iter = self.db_detector.iter_detect_text
             post_kwargs = dict(merge=False, skip_sort=True)
         elif self.method == "craft" and self.craft_detector is not None:
-            batch_fn = self.craft_detector.detect_text_batch
+            backend_iter = self.craft_detector.iter_detect_text
             post_kwargs = dict(merge=True)
         else:
-            return _loop()
+            for i, image in enumerate(images):
+                boxes = self.detect_lines_objects(image)
+                state[i] = (self.last_deskewed_image,
+                            self.last_deskew_boxes)
+                yield i, boxes
+            return
 
         from .deskew import boxes_to_original, estimate_skew, rotate_image
 
@@ -225,15 +229,9 @@ class TextDetector:
                               img.shape[:2]))
             else:
                 preps.append((img if img is not None else image, 0.0, None))
-        try:
-            detected_all = batch_fn([p[0] for p in preps])
-        except Exception as e:
-            print(f"{self.method} batch detection failed: {e}. "
-                  f"Falling back to per-page detection.")
-            return _loop()
 
-        out, state = [], []
-        for (upright, angle, orig_hw), detected in zip(preps, detected_all):
+        for i, detected in backend_iter([p[0] for p in preps]):
+            upright, angle, orig_hw = preps[i]
             boxes = self._process_boxes_objects(detected, **post_kwargs)
             if angle:
                 mapped = boxes_to_original(
@@ -241,16 +239,35 @@ class TextDetector:
                     angle, orig_hw)
                 pairs = [(b, m) for b, m in zip(boxes, mapped)
                          if m[2] > 0 and m[3] > 0]
-                state.append((upright, [b for b, _ in pairs]))
+                state[i] = (upright, [b for b, _ in pairs])
                 boxes = [TextBox(x, y, w, h, confidence=b.confidence,
                                  level=b.level)
                          for b, (x, y, w, h) in pairs]
             else:
-                state.append((None, None))
+                state[i] = (None, None)
             self.last_skew_angle = angle
-            out.append(boxes)
-        self.last_batch_state = state
-        return out
+            yield i, boxes
+
+    def detect_lines_objects_batch(self, images) -> List[List[TextBox]]:
+        """Batched ``detect_lines_objects`` (see iter_lines_objects_batch);
+        returns per-page results in input order, falling back to the
+        per-page loop if the batched backend path fails."""
+        images = list(images)
+        try:
+            out: List = [None] * len(images)
+            for i, boxes in self.iter_lines_objects_batch(images):
+                out[i] = boxes
+            return out
+        except Exception as e:
+            print(f"{self.method} batch detection failed: {e}. "
+                  f"Falling back to per-page detection.")
+            state, out = [], []
+            for image in images:
+                out.append(self.detect_lines_objects(image))
+                state.append((self.last_deskewed_image,
+                              self.last_deskew_boxes))
+            self.last_batch_state = state
+            return out
 
     def _detect_lines_upright(self, image) -> List[TextBox]:
         if self.method == "craft" and self.craft_detector:

@@ -299,16 +299,21 @@ class CRAFTDetector:
             out[i] = (region, affinity, ratio)
         return out
 
+    def iter_detect_text(self, images: List, poly: bool = False):
+        """Yield (page index, ``detect_text`` result) in download-arrival
+        order; page postproc overlaps later pages' downloads."""
+        grays = [self._load_gray(image) for image in images]
+        for i, region, affinity, ratio in self._iter_maps_batch(grays):
+            yield i, self._postprocess(grays[i], region, affinity,
+                                       ratio, poly)
+
     def detect_text_batch(self, images: List, poly: bool = False
                           ) -> List[List[Tuple[np.ndarray, float]]]:
         """Batched ``detect_text``: same per-page results, grouped batched
-        net forwards across all pages (see _iter_maps_batch); page postproc
-        overlaps later pages' downloads."""
-        grays = [self._load_gray(image) for image in images]
-        results: List = [None] * len(grays)
-        for i, region, affinity, ratio in self._iter_maps_batch(grays):
-            results[i] = self._postprocess(grays[i], region, affinity,
-                                           ratio, poly)
+        net forwards across all pages (see iter_detect_text)."""
+        results: List = [None] * len(images)
+        for i, res in self.iter_detect_text(images, poly=poly):
+            results[i] = res
         return results
 
 

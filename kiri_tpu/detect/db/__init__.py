@@ -227,10 +227,11 @@ class DBDetector:
             out[i] = (prob, info)
         return out
 
-    def detect_text_batch(self, images: List) -> List[List]:
-        """Batched ``detect_text``: same per-page results, one batched
-        net forward across all pages (see _iter_maps_batch); page
-        postproc runs while later pages' maps are still downloading."""
+    def iter_detect_text(self, images: List):
+        """Yield (page index, ``detect_text`` result) in download-arrival
+        order (see _iter_maps_batch): page postproc runs while later
+        pages' maps are still on the wire, and callers can do their own
+        per-page CPU work under the remaining transfers too."""
         from ...ops.preprocess import invert_if_dark
 
         grays = []
@@ -248,18 +249,24 @@ class DBDetector:
             else:
                 img = np.asarray(image)
             grays.append(invert_if_dark(self._to_gray(img)))
-        results: List = [None] * len(grays)
         for i, pred, (net_h, net_w, orig_h, orig_w) in \
                 self._iter_maps_batch(grays):
             bitmap = (pred > self.det_db_thresh).astype(np.uint8)
             boxes, scores = self._boxes_from_bitmap(pred, bitmap,
                                                     orig_w, orig_h)
             if not boxes:
-                results[i] = []
+                yield i, []
                 continue
             padded = self._apply_smart_padding(boxes)
-            results[i] = self._sort_boxes_reading_order(
+            yield i, self._sort_boxes_reading_order(
                 list(zip(padded, scores)))
+
+    def detect_text_batch(self, images: List) -> List[List]:
+        """Batched ``detect_text``: same per-page results, grouped batched
+        net forwards across all pages (see iter_detect_text)."""
+        results: List = [None] * len(images)
+        for i, res in self.iter_detect_text(images):
+            results[i] = res
         return results
 
     # ------------------------------------------------------------- postproc

@@ -643,29 +643,18 @@ class OCR:
         ``recognize_batch`` amortizes both across the whole stack of pages.
         Returns one ``process_document``-style result list per input path.
         """
-        # Detection for ALL pages first: with the DB backend the net
-        # forwards run as grouped batched dispatches (facade
-        # detect_lines_objects_batch) — serial per-page detection is the
-        # dominant cost of pooled multi-page OCR on a link-bound host.
-        page_dets = None
-        if mode == "lines":
-            page_dets = self.detector.detect_lines_objects_batch(
-                list(image_paths))
-            batch_state = self.detector.last_batch_state
+        # Detection runs as grouped batched dispatches (facade
+        # iter_lines_objects_batch) — serial per-page detection is the
+        # dominant cost of pooled multi-page OCR on a link-bound host —
+        # and pages are consumed AS THEIR MAPS LAND, so this loop's CPU
+        # work (gray load, deskew crop view, crop preprocessing) runs
+        # under the remaining detection transfers.
+        image_paths = list(image_paths)
+        n_docs = len(image_paths)
 
-        per_doc = []            # (boxes, det_confs, n_pooled_rows)
-        pool_batches, pool_widths, pool_crops, pool_kept = [], [], [], []
-        pool_resampled = []     # per-crop deskew provenance (device sharpen)
-        for di, image_path in enumerate(image_paths):
-            if page_dets is not None:
-                tbs = page_dets[di]
-                boxes = [b.bbox for b in tbs]
-                det_confs = [b.confidence for b in tbs]
-                # Restore this page's deskew artifacts for the crop view.
-                self.detector.last_deskewed_image = batch_state[di][0]
-                self.detector.last_deskew_boxes = batch_state[di][1]
-            else:
-                boxes, det_confs = self._detect_boxes(image_path, mode)
+        def _prep_page(di, boxes, det_confs):
+            """Per-page CPU work; fills the per-doc slots."""
+            image_path = image_paths[di]
             img_gray = self._load_gray(image_path)
             crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
             if self.preprocess == "device":
@@ -676,20 +665,53 @@ class OCR:
                         continue
                     crops.append(to_gray(roi))
                     kept.append(i)
-                pool_crops.extend(crops)
-                pool_resampled.extend([self._crops_resampled] * len(crops))
+                doc_pool[di] = (crops,
+                                [self._crops_resampled] * len(crops))
             else:
                 batch, kept, widths = preprocess_regions(
                     self.cfg, crop_img, crop_boxes, extra_padding=5,
                     enhance=self.enhance,
                     sharpen=self._crops_resampled)
-                if len(kept):
-                    pool_batches.append(batch)
-                    pool_widths.append(widths)
-            pool_kept.append(kept)
-            per_doc.append((boxes, det_confs, len(kept)))
+                doc_pool[di] = (batch, widths) if len(kept) else None
+            pool_kept[di] = kept
+            per_doc[di] = (boxes, det_confs, len(kept))
             if verbose:
                 print(f"🔍 {image_path}: {len(boxes)} regions")
+
+        per_doc: List = [None] * n_docs   # (boxes, det_confs, n_rows)
+        pool_kept: List = [None] * n_docs
+        doc_pool: List = [None] * n_docs  # host: (batch, widths) | device:
+        #                                   (crops, resampled) | None
+        done = False
+        if mode == "lines":
+            try:
+                for di, tbs in self.detector.iter_lines_objects_batch(
+                        image_paths):
+                    st = self.detector.last_batch_state[di]
+                    # Restore this page's deskew artifacts for the crops.
+                    self.detector.last_deskewed_image = st[0]
+                    self.detector.last_deskew_boxes = st[1]
+                    _prep_page(di, [b.bbox for b in tbs],
+                               [b.confidence for b in tbs])
+                done = True
+            except Exception as e:
+                print(f"Batched detection failed: {e}. "
+                      f"Falling back to per-page detection.")
+        if not done:
+            for di, image_path in enumerate(image_paths):
+                boxes, det_confs = self._detect_boxes(image_path, mode)
+                _prep_page(di, boxes, det_confs)
+
+        pool_batches, pool_widths, pool_crops, pool_resampled = [], [], [], []
+        for entry in doc_pool:
+            if entry is None:
+                continue
+            if self.preprocess == "device":
+                pool_crops.extend(entry[0])
+                pool_resampled.extend(entry[1])
+            else:
+                pool_batches.append(entry[0])
+                pool_widths.append(entry[1])
 
         if self.preprocess == "device":
             recognized = self.engine.recognize_crops(
