@@ -82,7 +82,8 @@ class TextDetector:
                                    "binary_threshold", "polygon_threshold",
                                    "unclip_ratio", "max_candidates", "padding_pct",
                                    "padding_px", "padding_y_pct", "padding_y_px",
-                                   "line_tolerance_ratio", "debug"]
+                                   "line_tolerance_ratio", "debug",
+                                   "det_map_downsample"]
                         db_kwargs = {k: v for k, v in self.kwargs.items() if k in db_keys}
                         self.db_detector = DBDetector(self.model_path, **db_kwargs)
                     else:

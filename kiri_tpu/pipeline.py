@@ -62,6 +62,7 @@ class OCR:
         preprocess: str = "host",
         deskew: bool = False,
         enhance: bool = False,
+        det_kwargs: Optional[Dict] = None,
     ):
         if preprocess not in ("host", "device"):
             raise ValueError(
@@ -95,6 +96,10 @@ class OCR:
         #: ops/preprocess.enhance_crop; device path: the XLA twin
         #: kernels/resize.enhance_lines.
         self.enhance = enhance
+        #: Extra kwargs forwarded to TextDetector (e.g. det_db_thresh,
+        #: det_map_downsample) — the constructor-kwargs surface the
+        #: reference exposes on its detector classes.
+        self.det_kwargs = dict(det_kwargs or {})
         # Set per page by _deskew_crop_view: True when crops come from the
         # deskew-resampled frame (enables the sharpen repair).
         self._crops_resampled = False
@@ -216,7 +221,8 @@ class OCR:
                 method=self.det_method,
                 model_path=self.det_model_path,
                 conf_threshold=self.det_conf_threshold,
-                deskew=self.deskew)
+                deskew=self.deskew,
+                **self.det_kwargs)
         return self._detector
 
     # ------------------------------------------------------------ recognition

@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=12000)
     ap.add_argument("--out", default="",
                     help="also write the result JSON to this path")
+    ap.add_argument("--map-downsample", type=int, default=1,
+                    help="DB det_map_downsample serving knob")
     args = ap.parse_args()
 
     from PIL import Image
@@ -48,7 +50,10 @@ def main() -> None:
         Image.fromarray(doc["image"]).save(p)
         paths.append(str(p))
 
-    ocr = OCR(args.model, det_method="db", decode_method=args.decode)
+    det_kwargs = ({"det_map_downsample": args.map_downsample}
+                  if args.map_downsample > 1 else None)
+    ocr = OCR(args.model, det_method="db", decode_method=args.decode,
+              det_kwargs=det_kwargs)
     # Warmup both paths so every bucket program is compiled before timing.
     ocr.extract_text_batch(paths)
     for p in paths:
@@ -94,6 +99,7 @@ def main() -> None:
         "sequential_lines_per_sec": round(n_lines / t_seq, 2),
         "speedup": round(t_seq / t_pooled, 2),
         "khmer_ratio": args.khmer_ratio,
+        "map_downsample": args.map_downsample,
     }
     print(json.dumps(result))
     if args.out:

@@ -49,6 +49,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=5000)
     ap.add_argument("--deskew", action="store_true",
                     help="enable the facade's projection-profile deskew")
+    ap.add_argument("--map-downsample", type=int, default=1,
+                    help="DB det_map_downsample serving knob (wire saver)")
     args = ap.parse_args()
 
     from kiri_tpu.data.docsynth import DocumentGenerator
@@ -61,7 +63,8 @@ def main() -> None:
                      else "models/craft.safetensors")
     det = TextDetector(method=args.detector,
                        model_path=args.model or default_model,
-                       deskew=args.deskew)
+                       deskew=args.deskew,
+                       det_map_downsample=args.map_downsample)
 
     def detect(img):
         return [np.asarray([[b.x, b.y], [b.x + b.width, b.y + b.height]])

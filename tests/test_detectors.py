@@ -422,3 +422,52 @@ def test_facade_batch_matches_single_pages_craft():
         want = det.detect_lines_objects(img)
         assert [(b.x, b.y, b.width, b.height) for b in got] == \
                [(b.x, b.y, b.width, b.height) for b in want]
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("models/detector.safetensors").exists(),
+    reason="trained DB checkpoint not present")
+def test_db_map_downsample_serving_knob():
+    """det_map_downsample=2 (wire saver: quarter-size u16 map + host
+    bilinear upsample) must keep box COUNTS and stay within a few px of
+    the full-res boxes; downstream crops carry >=5 px padding."""
+    from kiri_tpu.detect.db import DBDetector
+
+    full = DBDetector("models/detector.safetensors")
+    half = DBDetector("models/detector.safetensors", det_map_downsample=2)
+    for seed in (301, 302, 303):
+        img = DocumentGenerator(640, 640, seed=seed).generate()["image"]
+        rf = full.detect_text(img)
+        rh = half.detect_text(img)
+        assert len(rf) == len(rh)
+        for (bf, _), (bh, _) in zip(rf, rh):
+            # Vertex order of a min-area quad can rotate under tiny
+            # coordinate shifts; compare the axis-aligned extents.
+            ef = [bf[:, 0].min(), bf[:, 0].max(), bf[:, 1].min(),
+                  bf[:, 1].max()]
+            eh = [bh[:, 0].min(), bh[:, 0].max(), bh[:, 1].min(),
+                  bh[:, 1].max()]
+            assert np.abs(np.array(ef) - np.array(eh)).max() <= 6
+
+
+def test_ocr_det_kwargs_plumbing(monkeypatch, tmp_path):
+    """OCR(det_kwargs=...) reaches the TextDetector constructor."""
+    from kiri_tpu import pipeline as P
+
+    seen = {}
+
+    class FakeDetector:
+        def __init__(self, **kw):
+            seen.update(kw)
+
+    monkeypatch.setattr("kiri_tpu.detect.TextDetector", FakeDetector)
+    ocr = P.OCR.__new__(P.OCR)
+    ocr._detector = None
+    ocr.det_method = "db"
+    ocr.det_model_path = None
+    ocr.det_conf_threshold = 0.5
+    ocr.deskew = False
+    ocr.det_kwargs = {"det_map_downsample": 2, "det_db_thresh": 0.4}
+    _ = ocr.detector
+    assert seen["det_map_downsample"] == 2
+    assert seen["det_db_thresh"] == 0.4
