@@ -201,6 +201,11 @@ class TextDetector:
         images = list(images)
         state: List = [None] * len(images)
         self.last_batch_state = state
+        # Reset single-page deskew state: consumers crop from
+        # last_deskewed_image when it is set (see detect_lines_objects),
+        # so a previous page's frame must never leak into this batch.
+        self.last_deskewed_image = None
+        self.last_deskew_boxes = None
 
         if self.method == "db" and self.db_detector is not None:
             backend_iter = self.db_detector.iter_detect_text
@@ -218,21 +223,25 @@ class TextDetector:
 
         from .deskew import boxes_to_original, estimate_skew, rotate_image
 
-        preps = []  # (upright image-or-path, angle, orig hw or None)
+        # (upright image-or-path, applied angle, estimated angle or None,
+        #  orig hw or None) — estimate is recorded even when below the
+        # apply threshold, matching the single-page API's last_skew_angle.
+        preps = []
         for image in images:
-            img, angle = None, 0.0
+            img, est = None, None
             if self.deskew:
                 img = self.legacy_detector._load_image(image)
                 if img is not None:
-                    angle = estimate_skew(img)
-            if img is not None and abs(angle) >= self.deskew_min_angle:
-                preps.append((rotate_image(img, -angle), angle,
+                    est = estimate_skew(img)
+            if est is not None and abs(est) >= self.deskew_min_angle:
+                preps.append((rotate_image(img, -est), est, est,
                               img.shape[:2]))
             else:
-                preps.append((img if img is not None else image, 0.0, None))
+                preps.append((img if img is not None else image, 0.0, est,
+                              None))
 
         for i, detected in backend_iter([p[0] for p in preps]):
-            upright, angle, orig_hw = preps[i]
+            upright, angle, est, orig_hw = preps[i]
             boxes = self._process_boxes_objects(detected, **post_kwargs)
             if angle:
                 mapped = boxes_to_original(
@@ -246,7 +255,8 @@ class TextDetector:
                          for b, (x, y, w, h) in pairs]
             else:
                 state[i] = (None, None)
-            self.last_skew_angle = angle
+            if est is not None:
+                self.last_skew_angle = est
             yield i, boxes
 
     def detect_lines_objects_batch(self, images) -> List[List[TextBox]]:

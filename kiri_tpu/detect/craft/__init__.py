@@ -245,17 +245,15 @@ class CRAFTDetector:
                             conf))
         return results
 
-    # Batch-size buckets for the multi-page forward (see DBDetector).
-    _BATCH_BUCKETS = (1, 2, 4, 8)
-
     def _iter_maps_batch(self, grays: List[np.ndarray]):
         """Yield (page index, region, affinity, ratio) as downloads land:
         one upload + dispatch per (canvas shape, batch bucket) group, all
         host copies started async up front so the caller's per-page CPU
-        postproc overlaps the remaining transfers (see DBDetector)."""
+        postproc overlaps the remaining transfers (see detect/_batch.py)."""
         import jax.numpy as jnp
 
         from ...ops.preprocess import invert_if_dark
+        from .._batch import iter_grouped_batches
 
         canvases, ratios = [], []
         for gray in grays:
@@ -264,29 +262,9 @@ class CRAFTDetector:
                                                 self.mag_ratio)
             canvases.append(canvas)
             ratios.append(ratio)
-        groups: Dict[Tuple[int, int], List[int]] = {}
-        for i, c in enumerate(canvases):
-            groups.setdefault(c.shape, []).append(i)
-        max_b = self._BATCH_BUCKETS[-1]
-        pending = []
-        for shape in sorted(groups):
-            idxs = groups[shape]
-            for s in range(0, len(idxs), max_b):
-                chunk = idxs[s: s + max_b]
-                nb = next(b for b in self._BATCH_BUCKETS if b >= len(chunk))
-                arr = np.stack([canvases[i] for i in chunk]
-                               + [canvases[chunk[-1]]] * (nb - len(chunk)))
-                reg, aff = self._fwd_batch(self.variables, jnp.asarray(arr))
-                # Slice bucket padding off ON DEVICE before the fetch.
-                pending.append((chunk, reg[:len(chunk)], aff[:len(chunk)]))
-        for _, reg, aff in pending:
-            try:
-                reg.copy_to_host_async()
-                aff.copy_to_host_async()
-            except Exception:  # pragma: no cover - backend without async
-                pass
-        for chunk, reg, aff in pending:
-            regs, affs = np.asarray(reg), np.asarray(aff)
+        for chunk, (regs, affs) in iter_grouped_batches(
+                canvases,
+                lambda a: self._fwd_batch(self.variables, jnp.asarray(a))):
             for r, i in enumerate(chunk):
                 yield (i, regs[r].astype(np.float32),
                        affs[r].astype(np.float32), ratios[i])

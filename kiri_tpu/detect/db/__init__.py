@@ -96,6 +96,14 @@ class DBDetector:
         # coordinate shifts (crops carry >=5 px padding downstream).
         # Default 1 keeps the exact full-res maps.
         self.det_map_downsample = int(det_map_downsample)
+        if self.det_map_downsample < 1 or 32 % self.det_map_downsample:
+            # Canvases are /32-bucketed, so ds must divide 32 or the
+            # device-side pool reshape fails mid-inference with an opaque
+            # XLA error (and the pipeline would silently fall back to
+            # per-page detection every call).
+            raise ValueError(
+                f"det_map_downsample must be a divisor of 32, got "
+                f"{det_map_downsample}")
 
         import jax
 
@@ -111,8 +119,9 @@ class DBDetector:
 
         # uint8 in: the page upload crosses the host<->device link once per
         # document, so shipping u8 (4x fewer bytes than f32) cuts the upload
-        # cost; normalize runs fused on device. The prob-map download stays
-        # f32 (see below) — the f16 download saving applies to CRAFT only.
+        # cost; normalize runs fused on device. The prob map downloads as
+        # u16 fixed-point (see _fwd_u8 below), optionally mean-pooled by
+        # det_map_downsample.
         import jax.numpy as jnp
 
         ds = self.det_map_downsample
@@ -205,10 +214,6 @@ class DBDetector:
         prob = self._to_prob(np.asarray(prob), net_h, net_w)
         return prob, (net_h, net_w, orig_h, orig_w)
 
-    # Batch-size buckets for the multi-page forward: pages of the same
-    # canvas shape share a compiled program per bucket.
-    _BATCH_BUCKETS = (1, 2, 4, 8)
-
     def _iter_maps_batch(self, imgs: List[np.ndarray]):
         """Yield (page index, prob map, scale info) as downloads land.
 
@@ -222,35 +227,16 @@ class DBDetector:
         API at all)."""
         import jax.numpy as jnp
 
+        from .._batch import iter_grouped_batches
+
         canvases, infos = [], []
         for img in imgs:
             canvas, (net_h, net_w), (orig_h, orig_w) = self._resize_image(img)
             canvases.append(canvas)
             infos.append((net_h, net_w, orig_h, orig_w))
-        groups: Dict[Tuple[int, int], List[int]] = {}
-        for i, c in enumerate(canvases):
-            groups.setdefault(c.shape, []).append(i)
-        max_b = self._BATCH_BUCKETS[-1]
-        pending = []
-        for shape in sorted(groups):
-            idxs = groups[shape]
-            for s in range(0, len(idxs), max_b):
-                chunk = idxs[s: s + max_b]
-                nb = next(b for b in self._BATCH_BUCKETS if b >= len(chunk))
-                arr = np.stack([canvases[i] for i in chunk]
-                               + [canvases[chunk[-1]]] * (nb - len(chunk)))
-                probs = self._fwd_batch(self.variables, jnp.asarray(arr))
-                # Slice bucket padding off ON DEVICE before the fetch —
-                # otherwise a 6-page stack pads to 8 and the two ghost
-                # pages' full prob maps ride the tunnel for nothing.
-                pending.append((chunk, probs[:len(chunk)]))
-        for _, probs in pending:
-            try:
-                probs.copy_to_host_async()
-            except Exception:  # pragma: no cover - backend without async
-                pass
-        for chunk, probs in pending:
-            arr = np.asarray(probs)
+        for chunk, arr in iter_grouped_batches(
+                canvases,
+                lambda a: self._fwd_batch(self.variables, jnp.asarray(a))):
             for r, i in enumerate(chunk):
                 net_h, net_w, orig_h, orig_w = infos[i]
                 yield i, self._to_prob(arr[r], net_h, net_w), infos[i]
@@ -270,32 +256,12 @@ class DBDetector:
         per-page CPU work under the remaining transfers too."""
         from ...ops.preprocess import invert_if_dark
 
-        grays = []
-        for image in images:
-            if isinstance(image, (str, Path)):
-                if _HAS_CV2:
-                    img = cv2.imread(str(image))
-                else:
-                    from PIL import Image
-
-                    img = np.asarray(
-                        Image.open(image).convert("RGB"))[..., ::-1]
-                if img is None:
-                    raise ValueError(f"Image not found at {image}")
-            else:
-                img = np.asarray(image)
-            grays.append(invert_if_dark(self._to_gray(img)))
+        grays = [invert_if_dark(self._to_gray(self._load_bgr(image)))
+                 for image in images]
         for i, pred, (net_h, net_w, orig_h, orig_w) in \
                 self._iter_maps_batch(grays):
-            bitmap = (pred > self.det_db_thresh).astype(np.uint8)
-            boxes, scores = self._boxes_from_bitmap(pred, bitmap,
-                                                    orig_w, orig_h)
-            if not boxes:
-                yield i, []
-                continue
-            padded = self._apply_smart_padding(boxes)
-            yield i, self._sort_boxes_reading_order(
-                list(zip(padded, scores)))
+            boxes, scores = self._finish_page(pred, orig_w, orig_h)
+            yield i, self._padded_sorted(boxes, scores)
 
     def detect_text_batch(self, images: List) -> List[List]:
         """Batched ``detect_text``: same per-page results, grouped batched
@@ -358,6 +324,22 @@ class DBDetector:
             scores.append(float(score))
         return boxes, scores
 
+    def _finish_page(self, pred: np.ndarray, orig_w: int, orig_h: int):
+        """prob map -> (raw boxes, scores); shared by the single-page and
+        batched paths so threshold/debug behavior cannot diverge."""
+        bitmap = (pred > self.det_db_thresh).astype(np.uint8)
+        if self.debug:
+            print(f"  pred {pred.shape} max={pred.max():.3f} "
+                  f"fg={int(bitmap.sum())}")
+        return self._boxes_from_bitmap(pred, bitmap, orig_w, orig_h)
+
+    def _padded_sorted(self, boxes, scores):
+        """raw boxes -> smart-padded (box, score) list in reading order."""
+        if not boxes:
+            return []
+        padded = self._apply_smart_padding(boxes)
+        return self._sort_boxes_reading_order(list(zip(padded, scores)))
+
     def detect(self, img: np.ndarray, return_scores: bool = False):
         if img is None:
             return ([], []) if return_scores else []
@@ -369,11 +351,7 @@ class DBDetector:
 
         gray = invert_if_dark(gray)
         pred, (net_h, net_w, orig_h, orig_w) = self.predict_maps(gray)
-        bitmap = (pred > self.det_db_thresh).astype(np.uint8)
-        if self.debug:
-            print(f"  pred {pred.shape} max={pred.max():.3f} "
-                  f"fg={int(bitmap.sum())}")
-        boxes, scores = self._boxes_from_bitmap(pred, bitmap, orig_w, orig_h)
+        boxes, scores = self._finish_page(pred, orig_w, orig_h)
         return (boxes, scores) if return_scores else boxes
 
     # -------------------------------------------------- padding + sort (ref)
@@ -466,8 +444,9 @@ class DBDetector:
         return out
 
     # ----------------------------------------------------------- public API
-    def detect_text(self, image: Union[str, Path, np.ndarray]):
-        """(box quad, confidence) list in reading order."""
+    @staticmethod
+    def _load_bgr(image: Union[str, Path, np.ndarray]) -> np.ndarray:
+        """Path or array -> BGR/gray ndarray (reference db/model.py:487-495)."""
         if isinstance(image, (str, Path)):
             if _HAS_CV2:
                 img = cv2.imread(str(image))
@@ -477,16 +456,16 @@ class DBDetector:
                 img = np.asarray(Image.open(image).convert("RGB"))[..., ::-1]
             if img is None:
                 raise ValueError(f"Image not found at {image}")
-        elif isinstance(image, np.ndarray):
-            img = image.copy()
-        else:
-            raise TypeError("Image must be a path or numpy array")
+            return img
+        if isinstance(image, np.ndarray):
+            return image
+        raise TypeError("Image must be a path or numpy array")
 
-        boxes, scores = self.detect(img, return_scores=True)
-        if not boxes:
-            return []
-        padded = self._apply_smart_padding(boxes)
-        return self._sort_boxes_reading_order(list(zip(padded, scores)))
+    def detect_text(self, image: Union[str, Path, np.ndarray]):
+        """(box quad, confidence) list in reading order."""
+        boxes, scores = self.detect(self._load_bgr(image),
+                                    return_scores=True)
+        return self._padded_sorted(boxes, scores)
 
     def __call__(self, img: np.ndarray):
         return self.detect(img)

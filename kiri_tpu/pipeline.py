@@ -690,19 +690,27 @@ class OCR:
         #                                   (crops, resampled) | None
         done = False
         if mode == "lines":
-            try:
-                for di, tbs in self.detector.iter_lines_objects_batch(
-                        image_paths):
-                    st = self.detector.last_batch_state[di]
-                    # Restore this page's deskew artifacts for the crops.
-                    self.detector.last_deskewed_image = st[0]
-                    self.detector.last_deskew_boxes = st[1]
-                    _prep_page(di, [b.bbox for b in tbs],
-                               [b.confidence for b in tbs])
-                done = True
-            except Exception as e:
-                print(f"Batched detection failed: {e}. "
-                      f"Falling back to per-page detection.")
+            # Only the detector iteration sits inside the try: a
+            # _prep_page bug must propagate (it would fail identically on
+            # the serial path), not get mislabeled as a detection failure
+            # and silently disable pooled detection forever.
+            det_iter = self.detector.iter_lines_objects_batch(image_paths)
+            while True:
+                try:
+                    di, tbs = next(det_iter)
+                except StopIteration:
+                    done = True
+                    break
+                except Exception as e:
+                    print(f"Batched detection failed: {e}. "
+                          f"Falling back to per-page detection.")
+                    break
+                st = self.detector.last_batch_state[di]
+                # Restore this page's deskew artifacts for the crops.
+                self.detector.last_deskewed_image = st[0]
+                self.detector.last_deskew_boxes = st[1]
+                _prep_page(di, [b.bbox for b in tbs],
+                           [b.confidence for b in tbs])
         if not done:
             for di, image_path in enumerate(image_paths):
                 boxes, det_confs = self._detect_boxes(image_path, mode)

@@ -471,3 +471,29 @@ def test_ocr_det_kwargs_plumbing(monkeypatch, tmp_path):
     _ = ocr.detector
     assert seen["det_map_downsample"] == 2
     assert seen["det_db_thresh"] == 0.4
+
+
+def test_det_map_downsample_validated_at_construction():
+    from kiri_tpu.detect.db import DBDetector
+
+    with pytest.raises(ValueError, match="divisor of 32"):
+        DBDetector.__new__(DBDetector).__init__(det_map_downsample=3)
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("models/detector.safetensors").exists(),
+    reason="trained DB checkpoint not present")
+def test_batch_resets_stale_single_page_deskew_state():
+    """A previous page's deskew frame must not leak into a batch call
+    (the single-page API documents this invariant; the batch API must
+    honor it too)."""
+    from kiri_tpu.detect import TextDetector
+
+    det = TextDetector(method="db", model_path="models/detector.safetensors",
+                       deskew=True)
+    det.last_deskewed_image = np.zeros((10, 10), np.uint8)  # stale frame
+    det.last_deskew_boxes = [(0, 0, 5, 5)]
+    doc = DocumentGenerator(640, 640, seed=77).generate()["image"]
+    det.detect_lines_objects_batch([doc])
+    assert det.last_deskewed_image is None
+    assert det.last_deskew_boxes is None
