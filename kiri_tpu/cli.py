@@ -71,6 +71,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--deskew", action="store_true",
                    help="Straighten skewed pages before detection "
                         "(projection-profile estimate, detect/deskew.py)")
+    p.add_argument("--upload-bits", type=int, choices=(4, 8), default=8,
+                   help="4: pack two pixels/byte for recognition uploads "
+                        "(16 gray levels; halves the dominant wire cost on "
+                        "link-bound hosts at ~0.0003 CER)")
+    p.add_argument("--det-map-downsample", type=int, default=1,
+                   help="DB detection maps download at 1/N resolution "
+                        "(device mean-pool + host upsample; N must divide "
+                        "32) — ~40%% fewer detection bytes at N=2")
     p.add_argument("--enhance", action="store_true",
                    help="Adaptive crop cleanup for degraded captures "
                         "(conditional denoise + contrast stretch; no-op on "
@@ -253,7 +261,12 @@ def run_inference(args) -> None:
                   device=args.device, verbose=args.verbose,
                   decode_method=args.decode_method,
                   deskew=getattr(args, "deskew", False),
-                  enhance=getattr(args, "enhance", False))
+                  enhance=getattr(args, "enhance", False),
+                  upload_bits=getattr(args, "upload_bits", 8),
+                  det_kwargs=(
+                      {"det_map_downsample": args.det_map_downsample}
+                      if getattr(args, "det_map_downsample", 1) > 1
+                      else None))
 
         images = args.image
         if args.stream:

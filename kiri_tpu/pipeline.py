@@ -63,6 +63,7 @@ class OCR:
         deskew: bool = False,
         enhance: bool = False,
         det_kwargs: Optional[Dict] = None,
+        upload_bits: int = 8,
     ):
         if preprocess not in ("host", "device"):
             raise ValueError(
@@ -100,6 +101,10 @@ class OCR:
         #: det_map_downsample) — the constructor-kwargs surface the
         #: reference exposes on its detector classes.
         self.det_kwargs = dict(det_kwargs or {})
+        #: 4 = pack two pixels per byte for recognition uploads (16 gray
+        #: levels, unpacked fused on device) — halves the dominant wire
+        #: cost of tunnel-fed serving at ~0.0003 CER; 8 = bit-exact.
+        self.upload_bits = upload_bits
         # Set per page by _deskew_crop_view: True when crops come from the
         # deskew-resampled frame (enables the sharpen repair).
         self._crops_resampled = False
@@ -178,7 +183,7 @@ class OCR:
 
     # --------------------------------------------------------- model loading
     def _load_model(self, model_path: str) -> None:
-        cache_key = (str(model_path), self.device)
+        cache_key = (str(model_path), self.device, self.upload_bits)
         if cache_key in OCR._model_cache:
             if self.verbose:
                 print("⚡ Loading from memory cache")
@@ -202,7 +207,8 @@ class OCR:
             raise FileNotFoundError(
                 f"Could not find vocabulary file. Expected near: {model_path}")
         self.tokenizer = CharTokenizer(vocab_path, cfg)
-        self.engine = RecognizerEngine(variables, cfg, self.tokenizer)
+        self.engine = RecognizerEngine(variables, cfg, self.tokenizer,
+                                       upload_bits=self.upload_bits)
 
         if self.verbose:
             print(f"  ✓ Loaded (Vocab: {self.tokenizer.vocab_size} chars)")

@@ -183,3 +183,35 @@ def test_auto_partial_escalation_mixes_paths(engine, imgs):
     expect = [beam[i] if confs[i] < thr else ctc[i]
               for i in range(len(ctc))]
     assert [t for t, _ in auto] == [t for t, _ in expect]
+
+
+def test_pack4_unpack4_roundtrip():
+    from kiri_tpu.engine import _unpack4, pack4
+
+    x = np.random.default_rng(3).integers(0, 256, (2, 48, 160),
+                                          dtype=np.uint8)
+    deq = (((x.astype(np.uint16) + 8) // 17) * 17).astype(np.uint8)
+    packed = pack4(x)
+    assert packed.shape == (2, 48, 80)
+    got = np.asarray(_unpack4(packed))
+    np.testing.assert_array_equal(got, deq)
+
+
+@pytest.mark.parametrize("method", ["ctc", "decoder", "beam"])
+def test_upload_bits4_matches_quantized_full_path(engine, imgs, method):
+    """upload_bits=4 must equal the 8-bit path fed the SAME 16-level
+    quantized images: packing changes the wire format, not the math."""
+    eng4 = RecognizerEngine(engine.variables, CFG_TINY, engine.tok,
+                            upload_bits=4)
+    deq = (((imgs.astype(np.uint16) + 8) // 17) * 17).astype(np.uint8)
+    want = engine.recognize_batch(deq, method)
+    got = eng4.recognize_batch(imgs, method)
+    for (ta, ca), (tb, cb) in zip(want, got):
+        assert ta == tb
+        assert ca == pytest.approx(cb, abs=1e-5)
+
+
+def test_upload_bits_validation():
+    with pytest.raises(ValueError, match="upload_bits"):
+        RecognizerEngine.__new__(RecognizerEngine).__init__(
+            None, CFG_TINY, None, upload_bits=5)
