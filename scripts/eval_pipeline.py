@@ -81,6 +81,10 @@ def main() -> None:
     ap.add_argument("--detector", default="db", choices=("db", "craft", "legacy"))
     ap.add_argument("--khmer-ratio", type=float, default=0.4)
     ap.add_argument("--seed", type=int, default=7000)
+    ap.add_argument("--upload-bits", type=int, choices=(4, 8), default=8,
+                    help="4: packed recognition uploads (wire saver)")
+    ap.add_argument("--map-downsample", type=int, default=1,
+                    help="DB det_map_downsample serving knob")
     args = ap.parse_args()
 
     from kiri_tpu import OCR
@@ -88,7 +92,10 @@ def main() -> None:
 
     ocr = OCR(model_path=args.model, det_model_path=args.det_model,
               det_method=args.detector, decode_method=args.decode,
-              deskew=args.deskew, enhance=args.enhance)
+              deskew=args.deskew, enhance=args.enhance,
+              upload_bits=args.upload_bits,
+              det_kwargs=({"det_map_downsample": args.map_downsample}
+                          if args.map_downsample > 1 else None))
 
     summary = {}
     for cond in args.conditions.split(","):
