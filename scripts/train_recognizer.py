@@ -95,6 +95,12 @@ def main() -> None:
                     help="word budget per sampled line; raise toward ~20 so "
                          "small-font renders reach document-line density "
                          "(docsynth trims to region width, up to ~25 words)")
+    ap.add_argument("--small-render-ratio", type=float, default=0.0,
+                    help="fraction of lines rendered at 16-30 px heights "
+                         "(kept native; the model-input upscale happens in "
+                         "preprocess) — trains the encoder on document-"
+                         "scale glyphs, where dense Khmer clusters lose "
+                         "the most detail")
     ap.add_argument("--doc-crop-ratio", type=float, default=0.0,
                     help="fraction of samples drawn as detector-style crops "
                          "out of synthetic documents")
@@ -139,8 +145,22 @@ def main() -> None:
                                        khmer_ratio=args.khmer_ratio,
                                        sign_boost=args.sign_boost)
     n_doc = int(args.samples * args.doc_crop_ratio)
-    samples = gen.generate_samples(args.samples - n_doc, max_width=cfg.IMG_W,
+    n_small = int(args.samples * args.small_render_ratio)
+    samples = gen.generate_samples(args.samples - n_doc - n_small,
+                                   max_width=cfg.IMG_W,
                                    max_words=args.max_words)
+    if n_small:
+        heights = (16, 19, 22, 26, 30)
+        print(f"  + {n_small} small renders at heights {heights}")
+        for hi, h in enumerate(heights):
+            g2 = MultilingualDatasetGenerator(
+                str(out / "_gen_cache"), height=h, augment=True,
+                khmer_ratio=args.khmer_ratio, sign_boost=args.sign_boost,
+                seed=1000 + hi)
+            samples += g2.generate_samples(
+                n_small // len(heights),
+                max_width=round(cfg.IMG_W * h / cfg.IMG_H),
+                max_words=args.max_words)
     if n_doc:
         print(f"  + {n_doc} detector-style document crops"
               + (f" ({args.aug_conditions:.0%} degraded)"
