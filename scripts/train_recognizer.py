@@ -19,7 +19,8 @@ sys.path.insert(0, str(REPO))
 
 
 def doc_crop_samples(n: int, khmer_ratio: float, seed: int = 7000,
-                     aug_conditions: float = 0.0):
+                     aug_conditions: float = 0.0,
+                     resample_weight: float = 0.25):
     """Training lines cropped out of synthetic DOCUMENTS, with padding
     jitter approximating the DB detector's smart padding + the pipeline's
     +5px crop margin. Closes the distribution gap between cleanly-rendered
@@ -53,7 +54,13 @@ def doc_crop_samples(n: int, khmer_ratio: float, seed: int = 7000,
                                 khmer_ratio=khmer_ratio)
         doc = gen.generate()
         if aug_conditions and r.random() < aug_conditions:
-            cond = r.choice(crop_conds)
+            # 'resample' can be weighted up: the deskewed-rotated-page path
+            # (double bilinear resample) is the hardest surviving condition
+            # end-to-end, so continuations targeting it oversample here.
+            if r.random() < resample_weight:
+                cond = "resample"
+            else:
+                cond = r.choice([c for c in crop_conds if c != "resample"])
             if cond == "resample":
                 from kiri_tpu.detect.deskew import rotate_image
 
@@ -104,6 +111,13 @@ def main() -> None:
     ap.add_argument("--doc-crop-ratio", type=float, default=0.0,
                     help="fraction of samples drawn as detector-style crops "
                          "out of synthetic documents")
+    ap.add_argument("--resample-weight", type=float, default=0.25,
+                    help="within --aug-conditions, probability mass on the "
+                         "double-resample (deskewed rotated page) condition")
+    ap.add_argument("--small-resample", type=float, default=0.0,
+                    help="fraction of small renders passed through the "
+                         "double bilinear resample (rotated small text is "
+                         "where the two hardest conditions meet)")
     ap.add_argument("--aug-conditions", type=float, default=0.0,
                     help="fraction of doc-crop source documents degraded "
                          "(noise/low-contrast/texture) before cropping")
@@ -157,16 +171,42 @@ def main() -> None:
                 str(out / "_gen_cache"), height=h, augment=True,
                 khmer_ratio=args.khmer_ratio, sign_boost=args.sign_boost,
                 seed=1000 + hi)
-            samples += g2.generate_samples(
+            batch_small = g2.generate_samples(
                 n_small // len(heights),
                 max_width=round(cfg.IMG_W * h / cfg.IMG_H),
                 max_words=args.max_words)
+            if args.small_resample:
+                import random as _rr
+
+                import numpy as _np
+
+                from kiri_tpu.detect.deskew import rotate_image
+
+                rr = _rr.Random(500 + hi)
+                for s in batch_small:
+                    if rr.random() < args.small_resample:
+                        a = rr.uniform(2.0, 6.0) * (
+                            1 if rr.random() < 0.5 else -1)
+                        img = _np.asarray(s["image"], _np.uint8)
+                        # Pad vertically first: rotating a wide thin strip
+                        # in-place (expand=False) sweeps the line's ends
+                        # out of frame — (w/2)*sin(6 deg) exceeds the crop
+                        # height — which would erase end characters while
+                        # keeping the label.
+                        pad = int(img.shape[1] * 0.06) + 2
+                        bg = int(_np.median(img))
+                        img = _np.pad(img, ((pad, pad), (0, 0)),
+                                      constant_values=bg)
+                        img = rotate_image(rotate_image(img, a), -a)
+                        s["image"] = img[pad:-pad]
+            samples += batch_small
     if n_doc:
         print(f"  + {n_doc} detector-style document crops"
               + (f" ({args.aug_conditions:.0%} degraded)"
                  if args.aug_conditions else ""))
         doc = doc_crop_samples(n_doc, args.khmer_ratio,
-                               aug_conditions=args.aug_conditions)
+                               aug_conditions=args.aug_conditions,
+                               resample_weight=args.resample_weight)
         # Interleave so train/val splits and batches see both sources.
         import random as _random
 
