@@ -222,3 +222,31 @@ def test_recognize_region_and_streaming_schema(ocr):
         assert {"text", "step", "finished"} <= set(c)
     assert chunks[-1]["finished"] is True
     assert chunks[-1]["text"] == text
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("models/detector.safetensors").exists()
+    or not __import__("pathlib").Path("models/model.safetensors").exists(),
+    reason="trained checkpoints not present")
+def test_process_documents_mixed_sizes_order(tmp_path):
+    """Mixed page sizes force multiple detection canvas groups, so the
+    facade iterator yields pages OUT of input order — results must still
+    line up with their documents."""
+    from kiri_tpu.data.docsynth import DocumentGenerator
+    from kiri_tpu.pipeline import OCR
+
+    paths = []
+    for i, (w, h, seed) in enumerate([(640, 640, 61), (480, 640, 62),
+                                      (640, 640, 63), (512, 512, 64)]):
+        img = DocumentGenerator(w, h, seed=seed).generate()["image"]
+        p = tmp_path / f"d{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+    ocr = OCR("models/model.safetensors", det_method="db",
+              det_model_path="models/detector.safetensors",
+              decode_method="fast")
+    pooled = ocr.process_documents(paths)
+    for p, res in zip(paths, pooled):
+        want = ocr.process_document(p)
+        assert [r["box"] for r in res] == [r["box"] for r in want]
+        assert [r["text"] for r in res] == [r["text"] for r in want]
