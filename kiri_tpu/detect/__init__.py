@@ -45,6 +45,7 @@ class TextDetector:
         self.last_skew_angle = 0.0
         self.last_deskewed_image = None   # set per-page when deskew fires
         self.last_deskew_boxes = None     # deskewed-frame twins of the result
+        self.last_deskew_angle = 0.0      # APPLIED angle (0.0 = not fired)
         self.method = method
         self.kwargs = kwargs
         self.craft_detector = None
@@ -155,6 +156,7 @@ class TextDetector:
         # previous page must never leak into this one.
         self.last_deskewed_image = None
         self.last_deskew_boxes = None
+        self.last_deskew_angle = 0.0
         if self.deskew:
             img = self.legacy_detector._load_image(image)
             if img is not None:
@@ -175,6 +177,7 @@ class TextDetector:
                     # skewed crop costs the recognizer ~60x CER.
                     self.last_deskewed_image = desk
                     self.last_deskew_boxes = [b for b, _ in pairs]
+                    self.last_deskew_angle = angle
                     return [TextBox(x, y, w, h, confidence=b.confidence,
                                     level=b.level)
                             for b, (x, y, w, h) in pairs]
@@ -195,8 +198,9 @@ class TextDetector:
 
         ``self.last_batch_state[i]`` is filled when page ``i`` is
         yielded; afterwards it holds every page's
-        ``(deskewed_image, deskew_boxes)`` — the batch equivalent of
-        ``last_deskewed_image`` / ``last_deskew_boxes``.
+        ``(deskewed_image, deskew_boxes, applied_angle)`` — the batch
+        equivalent of ``last_deskewed_image`` / ``last_deskew_boxes`` /
+        ``last_deskew_angle``.
         """
         images = list(images)
         state: List = [None] * len(images)
@@ -206,6 +210,7 @@ class TextDetector:
         # so a previous page's frame must never leak into this batch.
         self.last_deskewed_image = None
         self.last_deskew_boxes = None
+        self.last_deskew_angle = 0.0
 
         if self.method == "db" and self.db_detector is not None:
             backend_iter = self.db_detector.iter_detect_text
@@ -217,7 +222,8 @@ class TextDetector:
             for i, image in enumerate(images):
                 boxes = self.detect_lines_objects(image)
                 state[i] = (self.last_deskewed_image,
-                            self.last_deskew_boxes)
+                            self.last_deskew_boxes,
+                            self.last_deskew_angle)
                 yield i, boxes
             return
 
@@ -249,12 +255,12 @@ class TextDetector:
                     angle, orig_hw)
                 pairs = [(b, m) for b, m in zip(boxes, mapped)
                          if m[2] > 0 and m[3] > 0]
-                state[i] = (upright, [b for b, _ in pairs])
+                state[i] = (upright, [b for b, _ in pairs], angle)
                 boxes = [TextBox(x, y, w, h, confidence=b.confidence,
                                  level=b.level)
                          for b, (x, y, w, h) in pairs]
             else:
-                state[i] = (None, None)
+                state[i] = (None, None, 0.0)
             if est is not None:
                 self.last_skew_angle = est
             yield i, boxes
@@ -276,7 +282,8 @@ class TextDetector:
             for image in images:
                 out.append(self.detect_lines_objects(image))
                 state.append((self.last_deskewed_image,
-                              self.last_deskew_boxes))
+                              self.last_deskew_boxes,
+                              self.last_deskew_angle))
             self.last_batch_state = state
             return out
 
@@ -390,6 +397,7 @@ class TextDetector:
         # this call's output by downstream croppers.
         self.last_deskewed_image = None
         self.last_deskew_boxes = None
+        self.last_deskew_angle = 0.0
         return self.legacy_detector.detect_words(image)
 
     def detect_blocks(self, image):

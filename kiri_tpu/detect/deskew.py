@@ -25,12 +25,20 @@ straight to the legacy backend un-deskewed.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
 
-__all__ = ["estimate_skew", "rotate_image", "boxes_to_original"]
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+__all__ = ["estimate_skew", "rotate_image", "boxes_to_original",
+           "extract_crop_single_resample"]
 
 
 def _ink_coords(img: np.ndarray, max_side: int = 1200,
@@ -43,10 +51,26 @@ def _ink_coords(img: np.ndarray, max_side: int = 1200,
     h, w = img.shape[:2]
     k = max(1, int(np.ceil(max(h, w) / max_side)))
     small = img[::k, ::k]
-    lo, hi = np.percentile(small, (5, 95))
+    # (0.5, 99.5) percentiles, not (5, 95): on a SPARSE page (a few short
+    # lines, <5% ink) with paper texture, p5/p95 both land inside the
+    # texture band (e.g. 242..254) and the midpoint labels ~half the
+    # background as ink, drowning the text signal (measured: a 3-line
+    # rotated page scored a monotone alias landscape and the gates
+    # correctly refused it — deskew silently never fired).
+    lo, hi = np.percentile(small, (0.5, 99.5))
     thr = (float(lo) + float(hi)) / 2.0
     dark = small < thr
     ink = dark if dark.mean() <= 0.5 else ~dark
+    if ink.mean() > 0.25:
+        # Ink covering >25% of a document page is implausible — the
+        # histogram is lopsided (e.g. texture on one side of the midpoint);
+        # re-threshold 25% of the range from the ink-side extreme.
+        if dark.mean() <= 0.5:            # ink = dark side
+            thr = float(lo) + 0.25 * (float(hi) - float(lo))
+        else:                             # inverted page: ink = bright side
+            thr = float(hi) - 0.25 * (float(hi) - float(lo))
+        dark = small < thr
+        ink = dark if dark.mean() <= 0.5 else ~dark
     ys, xs = np.nonzero(ink)
     if xs.size > max_px:
         sel = np.linspace(0, xs.size - 1, max_px).astype(np.int64)
@@ -153,6 +177,66 @@ def rotate_image(img: np.ndarray, angle_deg: float) -> np.ndarray:
     pil = Image.fromarray(img).rotate(angle_deg, resample=Image.BILINEAR,
                                       expand=False, fillcolor=fill)
     return np.asarray(pil, np.uint8)
+
+
+def extract_crop_single_resample(orig: np.ndarray, angle_deg: float,
+                                 box: Tuple[int, int, int, int], out_h: int,
+                                 extra_padding: int = 5,
+                                 min_scale: float = 0.75,
+                                 fill: Optional[int] = None
+                                 ) -> Optional[np.ndarray]:
+    """Cut one deskewed line crop straight from the ORIGINAL page, rotated
+    and scaled to height ``out_h`` in a SINGLE cubic resample.
+
+    ``box`` is (x, y, w, h) in the deskewed frame (``rotate_image(img,
+    -angle_deg)``); the padded box is clipped to the frame exactly like
+    ``ops.preprocess.crop_region``. The two-step path — bilinear page
+    rotation, then the preprocess resize — interpolates the pixels twice,
+    and on small document lines the intermediate low-res raster is where
+    stroke detail dies (measured: the rotated condition was the end-to-end
+    CER outlier at 0.055 vs 0.0075 clean). Composing rotation + scale into
+    one ``cv2.warpAffine`` gives rotated pages the same interpolation count
+    as upright ones.
+
+    Returns the uint8 crop of height ``out_h``, or None when the box is
+    empty, cv2 is unavailable, or the implied scale ``out_h / padded_h`` is
+    below ``min_scale`` — strong downscales want the area-averaging resize
+    of the two-step path, which ``warpAffine`` cannot do.
+    """
+    if not _HAS_CV2:
+        return None
+    orig = np.asarray(orig)
+    h, w = orig.shape[:2]
+    x, y, bw, bh = box
+    x1 = max(0, int(x) - extra_padding)
+    y1 = max(0, int(y) - extra_padding)
+    x2 = min(w, int(x) + int(bw) + extra_padding)
+    y2 = min(h, int(y) + int(bh) + extra_padding)
+    ph, pw = y2 - y1, x2 - x1
+    if ph <= 0 or pw <= 0:
+        return None
+    k = out_h / float(ph)
+    if k < min_scale:
+        return None
+    out_w = max(1, int(round(pw * k)))
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    # Destination pixel (u, v) samples deskewed-frame point
+    # (x1 + (u+0.5)/k - 0.5, y1 + (v+0.5)/k - 0.5) (cv2 center-aligned
+    # resize convention), which maps to the original frame through the
+    # forward PIL.rotate(angle) content transform p' = (xc + ys, -xs + yc)
+    # about the page center (same rotation as boxes_to_original).
+    ox = x1 + 0.5 / k - 0.5 - cx
+    oy = y1 + 0.5 / k - 0.5 - cy
+    m = np.array([[c / k, s / k, c * ox + s * oy + cx],
+                  [-s / k, c / k, -s * ox + c * oy + cy]], np.float64)
+    if fill is None:
+        fill = int(np.median(orig))
+    interp = cv2.INTER_CUBIC if k >= 1.0 else cv2.INTER_LINEAR
+    return cv2.warpAffine(
+        orig, m, (out_w, out_h), flags=interp | cv2.WARP_INVERSE_MAP,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=fill)
 
 
 def boxes_to_original(boxes: Sequence[Tuple[float, float, float, float]],

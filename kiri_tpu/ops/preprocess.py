@@ -309,23 +309,47 @@ def preprocess_regions(cfg, img_gray: np.ndarray,
     number of non-pad columns of row i — the engine groups rows into width
     buckets from it so narrow lines skip full-width compute.
     """
-    out = []
+    crops = []
     kept = []
-    widths = []
     for i, box in enumerate(boxes):
         roi = crop_region(img_gray, box, extra_padding)
         if roi is None:
             continue
+        crops.append(roi)
+        kept.append(i)
+    batch, widths = preprocess_crops(cfg, crops, enhance=enhance,
+                                     sharpen=sharpen)
+    return batch, kept, widths
+
+
+def preprocess_crops(cfg, crops: Sequence[np.ndarray],
+                     enhance: bool = False, sharpen=False
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Preprocess pre-cut line crops into one uint8 [N, H, W] batch.
+
+    The crop-cutting half of ``preprocess_regions`` factored out: callers
+    that extract crops themselves (the pipeline's deskew single-resample
+    path, detect/deskew.extract_crop_single_resample) feed them here for
+    invert-if-dark, optional ``enhance_crop``, and the aspect resize + pad.
+    ``sharpen`` is a bool or a per-crop sequence (resample provenance —
+    single-resample deskew crops don't need the double-resample repair).
+    Returns (batch, content_widths).
+    """
+    n = len(crops)
+    if isinstance(sharpen, (bool, np.bool_)):
+        sharpen = [bool(sharpen)] * n
+    out = []
+    widths = []
+    for roi, sh in zip(crops, sharpen):
         roi = invert_if_dark(to_gray(roi))
         if enhance:
-            roi = enhance_crop(roi, sharpen=sharpen, target_h=cfg.IMG_H)
+            roi = enhance_crop(roi, sharpen=sh, target_h=cfg.IMG_H)
         widths.append(content_width(roi.shape, cfg.IMG_H, cfg.IMG_W))
         out.append(resize_keep_ratio_pad_np(roi, cfg.IMG_H, cfg.IMG_W))
-        kept.append(i)
     if not out:
-        return (np.zeros((0, cfg.IMG_H, cfg.IMG_W), dtype=np.uint8), kept,
+        return (np.zeros((0, cfg.IMG_H, cfg.IMG_W), dtype=np.uint8),
                 np.zeros((0,), np.int32))
-    return np.stack(out), kept, np.asarray(widths, np.int32)
+    return np.stack(out), np.asarray(widths, np.int32)
 
 
 def normalize_u8(batch_u8, dtype):

@@ -25,7 +25,7 @@ from .config import CFG
 from .engine import RecognizerEngine
 from .models import recognizer as R
 from .ops.preprocess import (crop_region, enhance_crop, invert_if_dark,
-                             preprocess_np, preprocess_regions, to_gray)
+                             preprocess_crops, preprocess_np, to_gray)
 from .tokenizer import CharTokenizer
 from .train.checkpoints import find_vocab_file, load_checkpoint
 
@@ -64,6 +64,7 @@ class OCR:
         enhance: bool = False,
         det_kwargs: Optional[Dict] = None,
         upload_bits: int = 8,
+        deskew_single_resample: bool = True,
     ):
         if preprocess not in ("host", "device"):
             raise ValueError(
@@ -105,6 +106,14 @@ class OCR:
         #: levels, unpacked fused on device) — halves the dominant wire
         #: cost of tunnel-fed serving at ~0.0003 CER; 8 = bit-exact.
         self.upload_bits = upload_bits
+        #: When a page was deskewed, cut recognition crops straight from the
+        #: ORIGINAL page with one combined rotate+scale cubic resample
+        #: (detect/deskew.extract_crop_single_resample) instead of cropping
+        #: the twice-interpolated deskewed frame — rotated pages then see
+        #: the same interpolation count as upright ones. Applies to crops
+        #: the extraction would upscale (scale >= 0.75); strong downscales
+        #: keep the two-step path for its area-averaging resize.
+        self.deskew_single_resample = deskew_single_resample
         # Set per page by _deskew_crop_view: True when crops come from the
         # deskew-resampled frame (enables the sharpen repair).
         self._crops_resampled = False
@@ -351,6 +360,51 @@ class OCR:
         self._crops_resampled = False
         return img_gray, boxes
 
+    def _cut_crops(self, img_gray, boxes, extra_padding: int = 5):
+        """Cut grayscale recognition crops for input-frame ``boxes``.
+
+        Returns (crops, kept, sharpen): uint8 crops, the original box
+        indices they came from, and a per-crop bool list — True when the
+        crop was cut from the twice-interpolated deskewed frame (so
+        ``enhance_crop``'s resample-repair unsharp applies).
+
+        When the detector deskewed the page and ``deskew_single_resample``
+        is on, crops are sampled straight from the ORIGINAL page with one
+        combined rotate+scale cubic warp at model height — those rows skip
+        the second interpolation entirely and get sharpen=False. Crops the
+        warp would downscale hard (or when cv2 is missing) fall back to the
+        two-step path per-crop.
+        """
+        from .detect.deskew import extract_crop_single_resample
+
+        crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
+        crops: List[np.ndarray] = []
+        kept: List[int] = []
+        sharpen: List[bool] = []
+        angle = 0.0
+        fill = None
+        if self._crops_resampled and self.deskew_single_resample:
+            angle = float(getattr(self._detector, "last_deskew_angle", 0.0))
+        for i, box in enumerate(crop_boxes):
+            roi = None
+            resampled = self._crops_resampled
+            if angle:
+                if fill is None:
+                    fill = int(np.median(img_gray))
+                roi = extract_crop_single_resample(
+                    img_gray, angle, box, self.cfg.IMG_H,
+                    extra_padding=extra_padding, fill=fill)
+                if roi is not None:
+                    resampled = False
+            if roi is None:
+                roi = crop_region(crop_img, box, extra_padding)
+            if roi is None:
+                continue
+            crops.append(to_gray(roi))
+            kept.append(i)
+            sharpen.append(resampled)
+        return crops, kept, sharpen
+
     def _recognize_regions(self, img_gray, boxes, timer=None):
         """Crop + preprocess + recognize all regions, honoring the
         constructor's ``preprocess`` option on every document entry point.
@@ -358,28 +412,20 @@ class OCR:
         from .utils.profiling import StageTimer
 
         timer = timer or StageTimer()
-        img_gray, boxes = self._deskew_crop_view(img_gray, boxes)
         if self.preprocess == "device":
             # Pallas path: ship raw crops; invert+resize+pad+normalize run
             # fused on-chip (kernels/resize.py).
             with timer.stage("preprocess"):
-                crops, kept = [], []
-                for i, box in enumerate(boxes):
-                    roi = crop_region(img_gray, box, 5)
-                    if roi is None:
-                        continue
-                    crops.append(to_gray(roi))
-                    kept.append(i)
+                crops, kept, sharpen = self._cut_crops(img_gray, boxes)
             with timer.stage("recognize"):
                 recognized = self.engine.recognize_crops(
                     crops, self.decode_method, enhance=self.enhance,
-                    sharpen=self._crops_resampled)
+                    sharpen=np.asarray(sharpen, bool))
         else:
             with timer.stage("preprocess"):
-                batch, kept, widths = preprocess_regions(
-                    self.cfg, img_gray, boxes, extra_padding=5,
-                    enhance=self.enhance,
-                    sharpen=self._crops_resampled)
+                crops, kept, sharpen = self._cut_crops(img_gray, boxes)
+                batch, widths = preprocess_crops(
+                    self.cfg, crops, enhance=self.enhance, sharpen=sharpen)
             with timer.stage("recognize"):
                 recognized = self.engine.recognize_batch(
                     batch, self.decode_method, widths=widths)
@@ -451,15 +497,17 @@ class OCR:
                 img_gray, boxes, det_confs, decode_method, verbose)
             return
 
-        crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
+        crops, kept, sharpen = self._cut_crops(img_gray, boxes)
+        by_idx = {bi: (c, sh) for bi, c, sh in zip(kept, crops, sharpen)}
         for region_num, (box, det_conf) in enumerate(zip(boxes, det_confs), 1):
             try:
-                roi = crop_region(crop_img, crop_boxes[region_num - 1], 5)
-                if roi is None:
+                entry = by_idx.get(region_num - 1)
+                if entry is None:
                     continue
+                roi, roi_sharpen = entry
                 if self.enhance:
                     roi = enhance_crop(invert_if_dark(to_gray(roi)),
-                                       sharpen=self._crops_resampled)
+                                       sharpen=roi_sharpen)
                 region_img = preprocess_np(self.cfg, roi)
 
                 yield {
@@ -522,11 +570,9 @@ class OCR:
         method = (self._normalize_decode_method(decode_method)
                   if decode_method is not None else self.decode_method)
         total_regions = len(boxes)
-        crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
-        batch, kept, _ = preprocess_regions(self.cfg, crop_img, crop_boxes,
-                                            extra_padding=5,
-                                            enhance=self.enhance,
-                                            sharpen=self._crops_resampled)
+        crops, kept, sharpen = self._cut_crops(img_gray, boxes)
+        batch, _ = preprocess_crops(self.cfg, crops, enhance=self.enhance,
+                                    sharpen=sharpen)
         record_lists = self.engine.stream_records_batch(batch, method)
         by_index = {bi: recs for bi, recs in zip(kept, record_lists)}
 
@@ -606,16 +652,28 @@ class OCR:
             yield result
 
     @staticmethod
-    def _assemble_text(results: List[Dict]) -> str:
+    def _assemble_text(results: List[Dict],
+                       group_boxes: Optional[List] = None) -> str:
         """Join region texts into document text; regions whose vertical
         centers fall within 80% of max height share a line
-        (kiri_ocr/core.py:1135-1161)."""
+        (kiri_ocr/core.py:1135-1161).
+
+        ``group_boxes`` (optional, aligned with ``results``) supplies the
+        GROUPING geometry when it differs from the reported boxes: on a
+        deskewed page the reported input-frame boxes are axis-aligned hulls
+        whose heights grow ~width*sin(angle), which merges adjacent text
+        lines into one space-joined group — the deskewed-frame twins keep
+        the upright-page grouping behavior.
+        """
         lines: List[str] = []
         current_line: List[str] = []
         prev_center_y = None
         prev_height = None
-        for res in results:
-            y, h = res["box"][1], res["box"][3]
+        for i, res in enumerate(results):
+            if group_boxes is not None and group_boxes[i] is not None:
+                y, h = group_boxes[i][1], group_boxes[i][3]
+            else:
+                y, h = res["box"][1], res["box"][3]
             center_y = y + h / 2
             if prev_center_y is not None:
                 tolerance = max(h, prev_height) * 0.8
@@ -640,7 +698,32 @@ class OCR:
         results = self.process_document(image_path, mode, verbose=verbose)
         if not results:
             return "", results
-        return self._assemble_text(results), results
+        return (self._assemble_text(results, self._group_boxes_for(results)),
+                results)
+
+    def _group_boxes_for(self, results: List[Dict]) -> Optional[List]:
+        """Deskewed-frame grouping twins for ``results`` (by line_number),
+        or None when the page wasn't deskewed. Reads the detector's
+        per-page state, so call before processing another page."""
+        det = self._detector
+        if not (self.deskew and det is not None
+                and getattr(det, "last_deskew_boxes", None)):
+            return None
+        return self._align_twins(
+            [b.bbox for b in det.last_deskew_boxes], results)
+
+    @staticmethod
+    def _align_twins(twins: Optional[List], results: List[Dict]
+                     ) -> Optional[List]:
+        """Align a page's deskewed-frame bbox list (indexed by detected box)
+        with its result rows (indexed by line_number - 1)."""
+        if twins is None:
+            return None
+        out = []
+        for res in results:
+            bi = res.get("line_number", 0) - 1
+            out.append(twins[bi] if 0 <= bi < len(twins) else None)
+        return out
 
     # ------------------------------------------------- multi-document batch
     def process_documents(self, image_paths, mode: str = "lines",
@@ -668,30 +751,25 @@ class OCR:
             """Per-page CPU work; fills the per-doc slots."""
             image_path = image_paths[di]
             img_gray = self._load_gray(image_path)
-            crop_img, crop_boxes = self._deskew_crop_view(img_gray, boxes)
+            crops, kept, sharpen = self._cut_crops(img_gray, boxes)
             if self.preprocess == "device":
-                crops, kept = [], []
-                for i, box in enumerate(crop_boxes):
-                    roi = crop_region(crop_img, box, 5)
-                    if roi is None:
-                        continue
-                    crops.append(to_gray(roi))
-                    kept.append(i)
-                doc_pool[di] = (crops,
-                                [self._crops_resampled] * len(crops))
+                doc_pool[di] = (crops, sharpen)
             else:
-                batch, kept, widths = preprocess_regions(
-                    self.cfg, crop_img, crop_boxes, extra_padding=5,
-                    enhance=self.enhance,
-                    sharpen=self._crops_resampled)
+                batch, widths = preprocess_crops(
+                    self.cfg, crops, enhance=self.enhance, sharpen=sharpen)
                 doc_pool[di] = (batch, widths) if len(kept) else None
             pool_kept[di] = kept
             per_doc[di] = (boxes, det_confs, len(kept))
+            det = self._detector
+            if (self.deskew and det is not None
+                    and getattr(det, "last_deskew_boxes", None)):
+                doc_twins[di] = [b.bbox for b in det.last_deskew_boxes]
             if verbose:
                 print(f"🔍 {image_path}: {len(boxes)} regions")
 
         per_doc: List = [None] * n_docs   # (boxes, det_confs, n_rows)
         pool_kept: List = [None] * n_docs
+        doc_twins: List = [None] * n_docs  # deskewed-frame grouping bboxes
         doc_pool: List = [None] * n_docs  # host: (batch, widths) | device:
         #                                   (crops, resampled) | None
         done = False
@@ -715,6 +793,7 @@ class OCR:
                 # Restore this page's deskew artifacts for the crops.
                 self.detector.last_deskewed_image = st[0]
                 self.detector.last_deskew_boxes = st[1]
+                self.detector.last_deskew_angle = st[2]
                 _prep_page(di, [b.bbox for b in tbs],
                            [b.confidence for b in tbs])
         if not done:
@@ -760,6 +839,9 @@ class OCR:
                     "line_number": bi + 1,
                 })
             all_results.append(results)
+        # Deskewed-frame grouping geometry for extract_text_batch (aligned
+        # with all_results; None for upright pages).
+        self._last_batch_twins = doc_twins
         return all_results
 
     def extract_text_batch(self, image_paths, mode: str = "lines",
@@ -767,6 +849,8 @@ class OCR:
                            ) -> List[Tuple[str, List[Dict]]]:
         """``extract_text`` over many documents with one pooled recognition
         pass (see ``process_documents``)."""
-        return [(self._assemble_text(res) if res else "", res)
-                for res in self.process_documents(image_paths, mode,
-                                                  verbose=verbose)]
+        docs = self.process_documents(image_paths, mode, verbose=verbose)
+        twins = getattr(self, "_last_batch_twins", None) or [None] * len(docs)
+        return [(self._assemble_text(res, self._align_twins(tw, res))
+                 if res else "", res)
+                for res, tw in zip(docs, twins)]

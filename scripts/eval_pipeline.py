@@ -19,6 +19,7 @@ import argparse
 import json
 import random
 import sys
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -85,6 +86,9 @@ def main() -> None:
                     help="4: packed recognition uploads (wire saver)")
     ap.add_argument("--map-downsample", type=int, default=1,
                     help="DB det_map_downsample serving knob")
+    ap.add_argument("--two-step-deskew", action="store_true",
+                    help="disable the single-resample deskew crop path "
+                         "(A/B the double-interpolation cost)")
     args = ap.parse_args()
 
     from kiri_tpu import OCR
@@ -94,13 +98,16 @@ def main() -> None:
               det_method=args.detector, decode_method=args.decode,
               deskew=args.deskew, enhance=args.enhance,
               upload_bits=args.upload_bits,
+              deskew_single_resample=not args.two_step_deskew,
               det_kwargs=({"det_map_downsample": args.map_downsample}
                           if args.map_downsample > 1 else None))
 
     summary = {}
     for cond in args.conditions.split(","):
         cond = cond.strip()
-        rng = random.Random(args.seed + hash(cond) % 1000)
+        # zlib.crc32, not hash(): str hashes are salted per process, which
+        # made condition draws differ run-to-run and A/Bs incomparable.
+        rng = random.Random(args.seed + zlib.crc32(cond.encode()) % 1000)
         matched_err = matched_len = missed_len = 0
         doc_err = doc_len = 0
         n_gt = n_matched = 0
@@ -108,6 +115,7 @@ def main() -> None:
             gen = DocumentGenerator(640, 640, seed=args.seed + 13 * i,
                                     khmer_ratio=args.khmer_ratio)
             doc = gen.generate()
+            upright_lines = doc["lines"]
             if cond != "clean":
                 doc = apply_condition(doc, cond, rng)
             img = np.asarray(doc["image"], np.uint8)
@@ -116,9 +124,13 @@ def main() -> None:
             # order (y-band grouping then x — the facade's sort; the
             # generator emits two-column GT per-column, which would charge
             # the pipeline ~0.3 CER of pure ordering noise otherwise).
+            # Reading order is rotation-invariant, so GT is ordered by its
+            # UPRIGHT geometry: the rotated condition's axis-aligned hulls
+            # grow by ~w*sin(a) and merge adjacent y-bands, scrambling the
+            # GT line order itself (another ~0.25 of pure ordering noise).
             # Robust to line fragmentation/merging.
             gt_doc = "\n".join(t for _, t in _reading_order(
-                zip(doc["lines"], doc["texts"])))
+                zip(upright_lines, doc["texts"])))
             hyp_doc = "\n".join(r["text"] for r in results)
             doc_err += _lev(hyp_doc, gt_doc)
             doc_len += len(gt_doc)

@@ -162,3 +162,113 @@ def test_eval_pipeline_reading_order():
     ordered = [t for _, t in _reading_order(items)]
     assert ordered == ["L1", "R1", "L2", "R2", "L3", "R3"]
     assert _reading_order([]) == []
+
+
+def test_extract_crop_single_resample_geometry():
+    """The one-warp extraction must reproduce the two-step crop's content
+    (same geometry) while preserving MORE stroke contrast at document
+    scale — the whole point of skipping the intermediate raster."""
+    from kiri_tpu.detect.deskew import extract_crop_single_resample
+    from kiri_tpu.ops.preprocess import crop_region, resize_keep_ratio_pad_np
+
+    up = np.full((200, 500), 255, np.uint8)
+    for x in range(20, 470, 5):        # 2px strokes = glyph-scale detail
+        up[60:78, x:x + 2] = 0
+    angle = 4.0
+    rot = rotate_image(up, angle)              # "captured" rotated page
+    desk = rotate_image(rot, -angle)           # serve-side deskew
+    box = (15, 55, 460, 24)
+
+    one = extract_crop_single_resample(rot, angle, box, 48, extra_padding=5)
+    assert one is not None and one.shape[0] == 48
+    two = resize_keep_ratio_pad_np(crop_region(desk, box, 5), 48, 1024)
+    clean = resize_keep_ratio_pad_np(crop_region(up, box, 5), 48, 1024)
+    w = min(one.shape[1], two.shape[1], clean.shape[1])
+    a, b, c = (x[:, :w].astype(np.float32) for x in (one, clean, two))
+    # Same content: close to the clean oracle everywhere.
+    assert np.abs(a - b).mean() < 20.0
+    # Sharper than the two-step path: stroke floor stays black and the
+    # gradient energy matches the clean crop, not the blurred one.
+    assert np.percentile(a, 5) <= np.percentile(c, 5)
+    g = lambda x: float(np.abs(np.diff(x, axis=1)).mean())
+    assert g(a) >= g(c)
+    assert abs(g(a) - g(b)) < 0.2 * g(b)
+
+
+def test_extract_crop_single_resample_guards():
+    from kiri_tpu.detect.deskew import extract_crop_single_resample
+
+    page = np.full((100, 100), 255, np.uint8)
+    # Empty box -> None.
+    assert extract_crop_single_resample(page, 3.0, (50, 120, 10, 10), 48) is None
+    # Strong downscale (padded_h >> out_h / min_scale) -> None (two-step
+    # path keeps its area-averaging resize).
+    assert extract_crop_single_resample(page, 3.0, (0, 0, 90, 90), 48) is None
+
+
+def test_cut_crops_single_resample_provenance():
+    """On a deskewed page, _cut_crops samples upscaled crops straight from
+    the original (sharpen=False) and falls back to the deskewed frame
+    (sharpen=True) for crops the warp would downscale hard."""
+    from pathlib import Path
+
+    if not Path("models/model.safetensors").exists():
+        pytest.skip("trained flagship not present")
+    from kiri_tpu import OCR
+    from kiri_tpu.detect.deskew import extract_crop_single_resample
+
+    ocr = OCR(decode_method="fast", det_method="legacy", deskew=True)
+    doc = DocumentGenerator(480, 480, seed=313, khmer_ratio=0.0).generate()
+    rot = apply_condition(doc, "rotated", random.Random(4))
+    img = np.asarray(rot["image"], np.uint8)
+    boxes, _ = ocr._detect_boxes(img, "lines")
+    assert ocr.detector.last_deskew_angle != 0.0
+    crops, kept, sharpen = ocr._cut_crops(img, boxes)
+    assert len(crops) == len(kept) == len(sharpen)
+    # docsynth lines are ~16-40px -> every crop upscales to 48: all rows
+    # take the single-resample path.
+    assert sharpen and not any(sharpen)
+    assert all(c.shape[0] == ocr.cfg.IMG_H for c in crops)
+    # With the knob off, the two-step path marks every crop resampled.
+    ocr.deskew_single_resample = False
+    boxes2, _ = ocr._detect_boxes(img, "lines")
+    _, _, sharpen2 = ocr._cut_crops(img, boxes2)
+    assert sharpen2 and all(sharpen2)
+
+
+def test_assemble_text_groups_by_deskewed_frame():
+    """Input-frame hulls on a rotated page grow ~w*sin(a) and merge adjacent
+    text lines into one space-joined group; the deskewed-frame twins must
+    restore the upright grouping (one transcript line per text line)."""
+    from kiri_tpu.pipeline import OCR
+
+    # Two stacked 400px-wide lines at 4deg: hull heights ~ 22 + 400*sin(4deg)
+    # ~ 50px overlap vertically -> reference grouping joins them.
+    results = [
+        {"box": [10, 20, 400, 50], "text": "first", "line_number": 1},
+        {"box": [10, 52, 400, 50], "text": "second", "line_number": 2},
+    ]
+    merged = OCR._assemble_text(results)
+    assert merged == "first second"        # the hull failure mode
+    twins = [(10, 20, 400, 22), (10, 80, 400, 22)]
+    split = OCR._assemble_text(results, OCR._align_twins(twins, results))
+    assert split == "first\nsecond"
+
+
+def test_extract_text_rotated_uses_deskewed_grouping():
+    """End-to-end: extract_text on a rotated page must emit one transcript
+    line per text line, not hull-merged space-joined groups."""
+    from pathlib import Path
+
+    if not Path("models/model.safetensors").exists():
+        pytest.skip("trained flagship not present")
+    from kiri_tpu import OCR
+
+    ocr = OCR(decode_method="fast", det_method="legacy", deskew=True)
+    doc = DocumentGenerator(480, 480, seed=313, khmer_ratio=0.0).generate()
+    rot = apply_condition(doc, "rotated", random.Random(4))
+    text, results = ocr.extract_text(np.asarray(rot["image"], np.uint8))
+    assert ocr.detector.last_deskew_angle != 0.0
+    # Every batch row got its own transcript line (docsynth single-column
+    # pages have no side-by-side regions).
+    assert len(text.split("\n")) == len(results)

@@ -130,13 +130,13 @@ def test_pipeline_enhance_flag(tmp_path, monkeypatch, clean_line):
     PILImage.fromarray(page).save(doc)
 
     seen = []
-    orig = P.preprocess_regions
+    orig = P.preprocess_crops
 
-    def spy(cfg_, img, boxes, extra_padding=5, enhance=False, sharpen=False):
+    def spy(cfg_, crops, enhance=False, sharpen=False):
         seen.append(enhance)
-        return orig(cfg_, img, boxes, extra_padding, enhance, sharpen)
+        return orig(cfg_, crops, enhance=enhance, sharpen=sharpen)
 
-    monkeypatch.setattr(P, "preprocess_regions", spy)
+    monkeypatch.setattr(P, "preprocess_crops", spy)
     ocr = P.OCR(str(ckpt), det_method="legacy", decode_method="fast",
                 enhance=True)
     ocr.extract_text(str(doc))
