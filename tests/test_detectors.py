@@ -497,3 +497,67 @@ def test_batch_resets_stale_single_page_deskew_state():
     det.detect_lines_objects_batch([doc])
     assert det.last_deskewed_image is None
     assert det.last_deskew_boxes is None
+
+
+def test_split_column_merges_splits_aligned_gutter():
+    """A detected box bridging a two-column gutter must split at the
+    gutter (aligned ink-free band across other lines' rows), with each
+    part tightened to its own ink."""
+    from kiri_tpu.detect import TextDetector
+    from kiri_tpu.detect.base import DetectionLevel, TextBox
+
+    rng = np.random.default_rng(3)
+    page = np.full((300, 600), 255, np.uint8)
+    # Two columns of 5 text rows; gutter at x 280..320.
+    rows = [20, 75, 130, 185, 240]
+    for y in rows:
+        for x0, x1 in ((30, 280), (320, 570)):
+            for x in range(x0, x1, 9):       # strokes with word-ish gaps
+                if rng.random() < 0.85:
+                    page[y:y + 22, x:x + 4] = 0
+    det = TextDetector(method="legacy")      # facade helper only
+    boxes = [TextBox(25, rows[0] - 4, 550, 30, confidence=0.9,
+                     level=DetectionLevel.LINE)]          # bridges gutter
+    boxes += [TextBox(25, y - 4, 260, 30, confidence=0.9,
+                      level=DetectionLevel.LINE) for y in rows[1:]]
+    boxes += [TextBox(315, y - 4, 260, 30, confidence=0.9,
+                      level=DetectionLevel.LINE) for y in rows[1:]]
+    out = det._split_column_merges(page, boxes)
+    assert len(out) == len(boxes) + 1        # one split
+    halves = [b for b in out if b.y < 40]
+    assert len(halves) == 2
+    left, right = sorted(halves, key=lambda b: b.x)
+    assert left.x + left.width <= 320 and right.x >= 280
+    assert left.confidence == right.confidence == 0.9
+
+
+def test_split_column_merges_keeps_wide_word_spaces():
+    """Wide word spaces inside ONE line (not aligned across other lines)
+    must not split the box; sparse pages without neighbor evidence are
+    left alone entirely."""
+    from kiri_tpu.detect import TextDetector
+    from kiri_tpu.detect.base import DetectionLevel, TextBox
+
+    rng = np.random.default_rng(4)
+    page = np.full((300, 600), 255, np.uint8)
+    rows = [20, 75, 130, 185, 240]
+    # Full-width lines with a 30px space at a DIFFERENT x per line.
+    gaps = [100, 220, 340, 460, 520]
+    for y, gx in zip(rows, gaps):
+        for x in range(30, 570, 9):
+            if gx <= x < gx + 30:
+                continue
+            if rng.random() < 0.9:
+                page[y:y + 22, x:x + 4] = 0
+    det = TextDetector(method="legacy")
+    boxes = [TextBox(25, y - 4, 550, 30, confidence=0.9,
+                     level=DetectionLevel.LINE) for y in rows]
+    out = det._split_column_merges(page, boxes)
+    assert len(out) == len(boxes)
+    # Sparse page: 2 boxes -> no neighbor evidence -> untouched.
+    out2 = det._split_column_merges(page, boxes[:2])
+    assert [b.bbox for b in out2] == [b.bbox for b in boxes[:2]]
+    # Knob off -> untouched.
+    det.split_columns = False
+    out3 = det._split_column_merges(page, boxes)
+    assert [b.bbox for b in out3] == [b.bbox for b in boxes]
