@@ -121,6 +121,13 @@ def main() -> None:
     ap.add_argument("--aug-conditions", type=float, default=0.0,
                     help="fraction of doc-crop source documents degraded "
                          "(noise/low-contrast/texture) before cropping")
+    ap.add_argument("--enhance-ratio", type=float, default=0.0,
+                    help="P(pass a sample through the serving enhance_crop "
+                         "after generation/degradation) — aligns training "
+                         "with OCR(enhance=True) serving, whose despike/"
+                         "upscale-blur repairs reshape noisy small glyphs "
+                         "in ways raw-degradation training never shows the "
+                         "model (a no-op on clean renders)")
     ap.add_argument("--sign-boost", type=float, default=0.0,
                     help="fraction of Khmer lines sampled diacritic-dense "
                          "(targets the residual above-base-mark confusions)")
@@ -212,6 +219,21 @@ def main() -> None:
 
         samples = samples + doc
         _random.Random(13).shuffle(samples)
+    if args.enhance_ratio:
+        import random as _er
+
+        import numpy as _np
+
+        from kiri_tpu.ops.preprocess import enhance_crop, invert_if_dark
+
+        er = _er.Random(77)
+        n_enh = 0
+        for s in samples:
+            if er.random() < args.enhance_ratio:
+                s["image"] = enhance_crop(
+                    invert_if_dark(_np.asarray(s["image"], _np.uint8)))
+                n_enh += 1
+        print(f"  + {n_enh} samples passed through the serving enhance_crop")
     n_val = max(64, len(samples) // 50)
     val = samples[:n_val]
     train = samples[n_val:]
