@@ -272,3 +272,31 @@ def test_extract_text_rotated_uses_deskewed_grouping():
     # Every batch row got its own transcript line (docsynth single-column
     # pages have no side-by-side regions).
     assert len(text.split("\n")) == len(results)
+
+
+def test_pooled_documents_deskew_matches_single():
+    """process_documents must restore each page's deskew state (frame,
+    twins, APPLIED angle) before cutting crops: results and batch
+    transcripts on a [rotated, upright] pair must match the per-page API,
+    through the batched DB dispatch path."""
+    from pathlib import Path
+
+    if not (Path("models/model.safetensors").exists()
+            and Path("models/detector.safetensors").exists()):
+        pytest.skip("trained checkpoints not present")
+    from kiri_tpu import OCR
+
+    ocr = OCR(decode_method="fast", deskew=True)
+    doc = DocumentGenerator(480, 480, seed=313, khmer_ratio=0.0).generate()
+    rot = apply_condition(doc, "rotated", random.Random(4))
+    imgs = [np.asarray(rot["image"], np.uint8),
+            np.asarray(doc["image"], np.uint8)]
+    pooled = ocr.process_documents(imgs)
+    batch_texts = ocr.extract_text_batch(imgs)
+    for img, pooled_res, (btext, bres) in zip(imgs, pooled, batch_texts):
+        single = ocr.process_document(img)
+        assert [r["text"] for r in pooled_res] == [r["text"] for r in single]
+        assert [r["box"] for r in pooled_res] == [r["box"] for r in single]
+        stext, _ = ocr.extract_text(img)
+        assert btext == stext
+        assert [r["text"] for r in bres] == [r["text"] for r in single]
