@@ -117,7 +117,11 @@ def main() -> None:
             doc = gen.generate()
             upright_lines = doc["lines"]
             if cond != "clean":
-                doc = apply_condition(doc, cond, rng)
+                # "a+b" applies conditions in sequence (e.g. rotated+noisy:
+                # a skewed AND noisy capture) — GT boxes compose through
+                # each stage's transform.
+                for c in cond.split("+"):
+                    doc = apply_condition(doc, c, rng)
             img = np.asarray(doc["image"], np.uint8)
             results = ocr.process_document(img)
             # Document-level CER: full transcript vs GT, both in READING

@@ -300,3 +300,18 @@ def test_pooled_documents_deskew_matches_single():
         stext, _ = ocr.extract_text(img)
         assert btext == stext
         assert [r["text"] for r in bres] == [r["text"] for r in single]
+
+
+def test_estimate_skew_sparse_textured_page():
+    """Regression: on a SPARSE page (3 lines) with paper texture, the old
+    (p5+p95)/2 ink threshold landed inside the texture band (242..254),
+    labeled ~40% of the background as ink, and the profile landscape
+    degenerated to a +-8deg alias the gates refused — deskew silently never
+    fired (est 0.0, page CER 0.24). The (p0.5+p99.5)/2 threshold must
+    recover the true angle."""
+    doc = DocumentGenerator(640, 640, seed=7000 + 13 * 2,
+                            khmer_ratio=0.4).generate()
+    assert len(doc["lines"]) <= 5, "fixture page should be sparse"
+    rot = rotate_image(np.asarray(doc["image"], np.uint8), 3.98)
+    est = estimate_skew(rot)
+    assert abs(est - 3.98) < 0.4, est
