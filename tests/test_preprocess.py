@@ -115,3 +115,40 @@ def test_preprocess_regions_returns_widths():
     # Narrow first crop keeps a sub-IMG_W content width; the page-wide
     # second crop caps at IMG_W.
     assert widths[0] < widths[1] == CFG_SMALL.IMG_W
+
+
+def test_preprocess_crops_matches_regions():
+    """preprocess_crops on pre-cut crops == preprocess_regions on the same
+    boxes (the factored crop-cutting half must not change behavior)."""
+    from kiri_tpu.ops.preprocess import (crop_region, preprocess_crops,
+                                         preprocess_regions)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (100, 300), dtype=np.uint8)
+    boxes = [(10, 10, 120, 30), (40, 50, 200, 40)]
+    batch_r, kept, widths_r = preprocess_regions(CFG_SMALL, img, boxes)
+    crops = [crop_region(img, b, 5) for b in boxes]
+    batch_c, widths_c = preprocess_crops(CFG_SMALL, crops)
+    assert kept == [0, 1]
+    assert np.array_equal(batch_r, batch_c)
+    assert np.array_equal(widths_r, widths_c)
+
+
+def test_preprocess_crops_per_crop_sharpen_and_empty():
+    from kiri_tpu.ops.preprocess import preprocess_crops
+
+    # Empty input -> empty batch with the right shapes.
+    batch, widths = preprocess_crops(CFG_SMALL, [])
+    assert batch.shape == (0, CFG_SMALL.IMG_H, CFG_SMALL.IMG_W)
+    assert widths.shape == (0,)
+    # Per-crop sharpen sequence: with enhance on, a sharpened
+    # deskew-provenance crop must differ from an unsharpened twin of the
+    # same content (and both runs must accept the sequence form).
+    rng = np.random.default_rng(6)
+    soft = np.full((32, 120), 255, np.uint8)
+    soft[12:20, 10:110] = 120          # low-contrast-free soft stroke band
+    soft = np.clip(soft.astype(np.float32)
+                   + rng.normal(0, 0, soft.shape), 0, 255).astype(np.uint8)
+    b1, _ = preprocess_crops(CFG_SMALL, [soft, soft], enhance=True,
+                             sharpen=[True, False])
+    assert not np.array_equal(b1[0], b1[1])
