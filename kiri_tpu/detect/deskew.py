@@ -183,7 +183,8 @@ def extract_crop_single_resample(orig: np.ndarray, angle_deg: float,
                                  box: Tuple[int, int, int, int], out_h: int,
                                  extra_padding: int = 5,
                                  min_scale: float = 0.75,
-                                 fill: Optional[int] = None
+                                 fill: Optional[int] = None,
+                                 interp: Optional[int] = None
                                  ) -> Optional[np.ndarray]:
     """Cut one deskewed line crop straight from the ORIGINAL page, rotated
     and scaled to height ``out_h`` in a SINGLE cubic resample.
@@ -202,6 +203,12 @@ def extract_crop_single_resample(orig: np.ndarray, angle_deg: float,
     empty, cv2 is unavailable, or the implied scale ``out_h / padded_h`` is
     below ``min_scale`` — strong downscales want the area-averaging resize
     of the two-step path, which ``warpAffine`` cannot do.
+
+    ``interp`` overrides the cv2 interpolation flag (default: cubic when
+    upscaling, linear when downscaling). Noisy captures want
+    ``cv2.INTER_LINEAR``: the cubic kernel's ringing re-crisps sensor noise
+    and smears salt-and-pepper impulses into blobs the downstream
+    ``enhance_crop`` despike no longer recognizes as isolated spikes.
     """
     if not _HAS_CV2:
         return None
@@ -233,7 +240,8 @@ def extract_crop_single_resample(orig: np.ndarray, angle_deg: float,
                   [-s / k, c / k, -s * ox + c * oy + cy]], np.float64)
     if fill is None:
         fill = int(np.median(orig))
-    interp = cv2.INTER_CUBIC if k >= 1.0 else cv2.INTER_LINEAR
+    if interp is None:
+        interp = cv2.INTER_CUBIC if k >= 1.0 else cv2.INTER_LINEAR
     return cv2.warpAffine(
         orig, m, (out_w, out_h), flags=interp | cv2.WARP_INVERSE_MAP,
         borderMode=cv2.BORDER_CONSTANT, borderValue=fill)

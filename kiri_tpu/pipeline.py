@@ -374,6 +374,15 @@ class OCR:
         the second interpolation entirely and get sharpen=False. Crops the
         warp would downscale hard (or when cv2 is missing) fall back to the
         two-step path per-crop.
+
+        With ``enhance`` on, a NOISY rotated page (sigma > the enhance_crop
+        gate) is despiked once at native scale and warped with LINEAR
+        interpolation — the same treatment upright noisy crops get
+        (despike-then-linear-resize). The default cubic warp smears
+        salt-and-pepper impulses into blobs the crop-level despike can't
+        catch and re-crisps gaussian noise, which made rotated+noisy pages
+        ~2.3x worse than noisy alone end-to-end. Clean pages are untouched
+        (the sigma gate fails, path is bit-identical).
         """
         from .detect.deskew import extract_crop_single_resample
 
@@ -383,8 +392,23 @@ class OCR:
         sharpen: List[bool] = []
         angle = 0.0
         fill = None
+        warp_src = img_gray
+        warp_interp = None
         if self._crops_resampled and self.deskew_single_resample:
             angle = float(getattr(self._detector, "last_deskew_angle", 0.0))
+        if angle and self.enhance:
+            try:
+                import cv2 as _cv2
+
+                from .ops.preprocess import _despike, estimate_noise_sigma
+
+                if estimate_noise_sigma(img_gray) > 2.5:
+                    warp_src = np.clip(
+                        _despike(img_gray.astype(np.float32)),
+                        0.0, 255.0).astype(np.uint8)
+                    warp_interp = _cv2.INTER_LINEAR
+            except ImportError:  # no cv2: warp path is skipped anyway
+                pass
         for i, box in enumerate(crop_boxes):
             roi = None
             resampled = self._crops_resampled
@@ -392,8 +416,9 @@ class OCR:
                 if fill is None:
                     fill = int(np.median(img_gray))
                 roi = extract_crop_single_resample(
-                    img_gray, angle, box, self.cfg.IMG_H,
-                    extra_padding=extra_padding, fill=fill)
+                    warp_src, angle, box, self.cfg.IMG_H,
+                    extra_padding=extra_padding, fill=fill,
+                    interp=warp_interp)
                 if roi is not None:
                     resampled = False
             if roi is None:

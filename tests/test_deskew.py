@@ -236,6 +236,56 @@ def test_cut_crops_single_resample_provenance():
     assert sharpen2 and all(sharpen2)
 
 
+def test_cut_crops_noisy_page_despikes_and_warps_linear():
+    """With enhance on, a NOISY rotated page must be despiked at native
+    scale and warped with linear interpolation (the upright-noisy
+    treatment); a clean rotated page must stay bit-identical to the
+    enhance=False crop path (the sigma gate fails)."""
+    from pathlib import Path
+
+    if not Path("models/model.safetensors").exists():
+        pytest.skip("trained flagship not present")
+    cv2 = pytest.importorskip("cv2")
+    from kiri_tpu import OCR
+    from kiri_tpu.detect.deskew import extract_crop_single_resample
+    from kiri_tpu.ops.preprocess import _despike
+
+    ocr = OCR(decode_method="fast", det_method="legacy", deskew=True,
+              enhance=True)
+    doc = DocumentGenerator(480, 480, seed=909, khmer_ratio=0.0).generate()
+    rng = random.Random(11)
+    rot = apply_condition(doc, "rotated", rng)
+    noisy = apply_condition(rot, "noisy", rng)
+    img = np.asarray(noisy["image"], np.uint8)
+    boxes, _ = ocr._detect_boxes(img, "lines")
+    angle = ocr.detector.last_deskew_angle
+    assert angle != 0.0
+    crops, kept, _ = ocr._cut_crops(img, boxes)
+    assert crops
+    # Reproduce the expected treatment: despiked source, linear warp.
+    src = np.clip(_despike(img.astype(np.float32)), 0, 255).astype(np.uint8)
+    fill = int(np.median(img))
+    _, crop_boxes = ocr._deskew_crop_view(img, boxes)
+    want = extract_crop_single_resample(
+        src, angle, crop_boxes[kept[0]], ocr.cfg.IMG_H, fill=fill,
+        interp=cv2.INTER_LINEAR)
+    assert np.array_equal(crops[0], want)
+    # And NOT the raw cubic warp of the noisy page.
+    raw = extract_crop_single_resample(
+        img, angle, crop_boxes[kept[0]], ocr.cfg.IMG_H, fill=fill)
+    assert not np.array_equal(crops[0], raw)
+
+    # Clean rotated page: enhance must not perturb the crop cut.
+    img_c = np.asarray(rot["image"], np.uint8)
+    boxes_c, _ = ocr._detect_boxes(img_c, "lines")
+    crops_c, _, _ = ocr._cut_crops(img_c, boxes_c)
+    ocr_plain = OCR(decode_method="fast", det_method="legacy", deskew=True)
+    boxes_p, _ = ocr_plain._detect_boxes(img_c, "lines")
+    crops_p, _, _ = ocr_plain._cut_crops(img_c, boxes_p)
+    assert len(crops_c) == len(crops_p)
+    assert all(np.array_equal(a, b) for a, b in zip(crops_c, crops_p))
+
+
 def test_assemble_text_groups_by_deskewed_frame():
     """Input-frame hulls on a rotated page grow ~w*sin(a) and merge adjacent
     text lines into one space-joined group; the deskewed-frame twins must
