@@ -144,7 +144,13 @@ def _gauss08(f: np.ndarray) -> np.ndarray:
     return sum(w * p[:, i: i + f.shape[1]] for i, w in enumerate(k))
 
 
-def _despike(f: np.ndarray) -> np.ndarray:
+#: Shared noise gate: enhance_crop's default noise_thresh AND the
+#: page-level despike gate in pipeline._cut_crops use this one value, so a
+#: retune cannot silently split the two paths.
+NOISE_SIGMA_THRESH = 2.5
+
+
+def _despike(f: np.ndarray, band_rows: int = 1024) -> np.ndarray:
     """Remove isolated full-range impulses (salt-and-pepper noise).
 
     A pixel is replaced by its 8-neighbor median only when it is extreme AND
@@ -154,7 +160,19 @@ def _despike(f: np.ndarray) -> np.ndarray:
     while docsynth-noisy CER drops 0.1655 -> 0.0039 (48 px) /
     0.0986 -> 0.0335 (22 px) combined with the blur stage. A plain median
     despike (|f - med| test) erases thin strokes instead (0.099 -> 0.30).
+
+    Pages taller than ``band_rows`` are processed in row bands with a
+    1-pixel halo (bit-identical: every 3x3 window is local), bounding the
+    ~9x float32 window temporaries to band size instead of page size.
     """
+    h = f.shape[0]
+    if h > band_rows:
+        out = np.empty_like(f)
+        for y0 in range(0, h, band_rows):
+            y1 = min(h, y0 + band_rows)
+            lo, hi = max(0, y0 - 1), min(h, y1 + 1)
+            out[y0:y1] = _despike(f[lo:hi])[y0 - lo: y0 - lo + (y1 - y0)]
+        return out
     p = np.pad(f, 1, mode="edge")
     win = np.lib.stride_tricks.sliding_window_view(
         p, (3, 3)).reshape(f.shape + (9,))
@@ -168,18 +186,28 @@ def _despike(f: np.ndarray) -> np.ndarray:
     return f
 
 
-def estimate_noise_sigma(img: np.ndarray) -> float:
+def estimate_noise_sigma(img: np.ndarray, max_px: int = 1_500_000) -> float:
     """Robust additive-noise estimate: 1.4826 * median(|img - median3(img)|).
 
     Clean renders and contrast-compressed (but noiseless) captures measure
     ~0; gaussian sensor noise of sigma 14-26 measures ~5-8 — cleanly
-    separable with a threshold around 2.5.
+    separable with a threshold around NOISE_SIGMA_THRESH.
+
+    Images above ``max_px`` pixels are stride-subsampled first: the
+    estimator reads i.i.d. per-pixel noise, which survives striding, and
+    the median is robust to the minority of glyph-edge pixels — so the
+    estimate is scale-stable while the float32 temporaries stay bounded.
     """
+    img = np.asarray(img)
+    px = img.shape[0] * img.shape[1]
+    if px > max_px:
+        k = int(np.ceil(np.sqrt(px / max_px)))
+        img = img[::k, ::k]
     f = img.astype(np.float32)
     return float(np.median(np.abs(f - _median3(f)))) * 1.4826
 
 
-def enhance_crop(img: np.ndarray, noise_thresh: float = 2.5,
+def enhance_crop(img: np.ndarray, noise_thresh: float = NOISE_SIGMA_THRESH,
                  range_thresh: float = 200.0, min_blur_height: int = 36,
                  sharpen: bool = False, target_h: int = 48) -> np.ndarray:
     """Adaptive cleanup for degraded line crops (uint8 in, uint8 out).

@@ -375,14 +375,18 @@ class OCR:
         warp would downscale hard (or when cv2 is missing) fall back to the
         two-step path per-crop.
 
-        With ``enhance`` on, a NOISY rotated page (sigma > the enhance_crop
-        gate) is despiked once at native scale and warped with LINEAR
-        interpolation — the same treatment upright noisy crops get
-        (despike-then-linear-resize). The default cubic warp smears
+        With ``enhance`` on, a NOISY rotated page (sigma > the shared
+        NOISE_SIGMA_THRESH gate) is despiked once at native scale — lazily,
+        on the first crop that actually takes the warp path — and warped
+        with LINEAR interpolation: the same treatment upright noisy crops
+        get (despike-then-linear-resize). The default cubic warp smears
         salt-and-pepper impulses into blobs the crop-level despike can't
         catch and re-crisps gaussian noise, which made rotated+noisy pages
-        ~2.3x worse than noisy alone end-to-end. Clean pages are untouched
-        (the sigma gate fails, path is bit-identical).
+        ~2.3x worse than noisy alone end-to-end. Crops the warp rejects
+        (strong downscale) fall back to a deskewed view RE-DERIVED from the
+        despiked page (also lazy), so both crop paths see the same despiked
+        pixels. Clean pages are untouched (the sigma gate fails, path is
+        bit-identical).
         """
         from .detect.deskew import extract_crop_single_resample
 
@@ -392,23 +396,51 @@ class OCR:
         sharpen: List[bool] = []
         angle = 0.0
         fill = None
-        warp_src = img_gray
         warp_interp = None
+        noise_gate = False
         if self._crops_resampled and self.deskew_single_resample:
             angle = float(getattr(self._detector, "last_deskew_angle", 0.0))
         if angle and self.enhance:
             try:
                 import cv2 as _cv2
 
-                from .ops.preprocess import _despike, estimate_noise_sigma
+                from .ops.preprocess import (NOISE_SIGMA_THRESH,
+                                             estimate_noise_sigma)
 
-                if estimate_noise_sigma(img_gray) > 2.5:
-                    warp_src = np.clip(
-                        _despike(img_gray.astype(np.float32)),
-                        0.0, 255.0).astype(np.uint8)
+                if estimate_noise_sigma(img_gray) > NOISE_SIGMA_THRESH:
+                    noise_gate = True
                     warp_interp = _cv2.INTER_LINEAR
             except ImportError:  # no cv2: warp path is skipped anyway
                 pass
+        # Lazy per-page derived views (computed at most once each, and only
+        # when some crop actually needs them — ADVICE r3 #1/#2).
+        lazy: Dict[str, np.ndarray] = {}
+
+        def _warp_src() -> np.ndarray:
+            if "warp" not in lazy:
+                if noise_gate:
+                    from .ops.preprocess import _despike
+
+                    lazy["warp"] = np.clip(
+                        _despike(img_gray.astype(np.float32)),
+                        0.0, 255.0).astype(np.uint8)
+                else:
+                    lazy["warp"] = img_gray
+            return lazy["warp"]
+
+        def _fallback_view() -> np.ndarray:
+            # Deskewed frame for warp-rejected crops. On noisy pages the
+            # detector's frame was bilinear-rotated from the UN-despiked
+            # original (smeared impulses); re-derive it from the despiked
+            # page so fallback crops get the same treatment.
+            if not noise_gate:
+                return crop_img
+            if "fb" not in lazy:
+                from .detect.deskew import rotate_image
+
+                lazy["fb"] = rotate_image(_warp_src(), -angle)
+            return lazy["fb"]
+
         for i, box in enumerate(crop_boxes):
             roi = None
             resampled = self._crops_resampled
@@ -416,13 +448,14 @@ class OCR:
                 if fill is None:
                     fill = int(np.median(img_gray))
                 roi = extract_crop_single_resample(
-                    warp_src, angle, box, self.cfg.IMG_H,
+                    _warp_src(), angle, box, self.cfg.IMG_H,
                     extra_padding=extra_padding, fill=fill,
                     interp=warp_interp)
                 if roi is not None:
                     resampled = False
             if roi is None:
-                roi = crop_region(crop_img, box, extra_padding)
+                roi = crop_region(_fallback_view() if angle else crop_img,
+                                  box, extra_padding)
             if roi is None:
                 continue
             crops.append(to_gray(roi))
