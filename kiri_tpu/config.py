@@ -99,6 +99,14 @@ class CFG:
     # step-loop's cost; rows unfinished at the budget are re-decoded with
     # the step loop (engine fallback). Typical lines converge in 1-2 rounds.
     SPEC_MAX_ROUNDS: int = 8
+    # Step-window size for incremental character streaming: the AR
+    # streaming decoders run as resumable W-step windows (decode state and
+    # KV cache stay on device between dispatches) and each window's chunks
+    # are emitted before the next window launches — time-to-first-char is
+    # encode + one window instead of the whole page decode
+    # (ops/decode.*_stream_window; reference yields inside its eager loop,
+    # kiri_ocr/model.py:779-946). 0 disables (one-shot decode + replay).
+    STREAM_WINDOW: int = 16
 
     def replace(self, **kw) -> "CFG":
         return dataclasses.replace(self, **kw)

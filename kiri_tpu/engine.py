@@ -494,20 +494,34 @@ class RecognizerEngine:
             dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
 
     # ------------------------------------------------------------- streaming
-    def stream_records(self, img_u8: np.ndarray, method: str) -> Generator[Dict, None, None]:
+    def stream_records(self, img_u8: np.ndarray, method: str,
+                       window: Optional[int] = None
+                       ) -> Generator[Dict, None, None]:
         """Streaming chunk dicts for ONE line image; schema matches the
         reference streaming decoders exactly (kiri_ocr/model.py:689-1153)."""
         imgs = np.asarray(img_u8)[None] if img_u8.ndim == 2 else np.asarray(img_u8)
-        yield from self.stream_records_batch(imgs, method)[0]
+        yield from self.stream_records_batch(imgs, method, window=window)[0]
 
-    def stream_records_batch(self, imgs_u8: np.ndarray, method: str
-                             ) -> List[List[Dict]]:
-        """Streaming records for N lines computed in ONE compiled decode.
+    def stream_records_batch(self, imgs_u8: np.ndarray, method: str,
+                             window: Optional[int] = None
+                             ) -> List[Sequence[Dict]]:
+        """Streaming records for N lines, one record sequence per line.
 
-        The per-step history of the batched while_loop decoders is recorded
-        on device and replayed here, so a whole page streams with the same
-        chunk schema at batched throughput (the reference runs one eager
-        decode per region; this is the TPU answer to driver config #5).
+        window=None: the whole page decodes in ONE compiled while_loop with
+        per-step history recorded on device, then chunks replay here — the
+        throughput mode (driver config #5); time-to-first-char is the full
+        decode.
+
+        window=W (int > 0): INCREMENTAL streaming for the AR methods. The
+        decode runs in resumable W-step windows (decode state and KV cache
+        stay on device between dispatches, ops/decode.*_stream_window) and
+        each returned sequence is a lazy generator that emits a window's
+        chunks as soon as that window's history lands on the host — matching
+        the reference's yield-inside-the-loop behavior
+        (kiri_ocr/model.py:779-946): time-to-first-char is encode + ONE
+        window, not the page decode. Chunk content is bit-identical to
+        window=None (the step math is shared). CTC streaming is already a
+        single encode dispatch; it ignores ``window``.
         """
         imgs_u8 = np.asarray(imgs_u8)
         if imgs_u8.shape[0] == 0:
@@ -531,6 +545,10 @@ class RecognizerEngine:
         l_cap = self._step_cap(est, n, memp.shape[1])
         tl_np = np.asarray(est).astype(np.int32)
         tl = jnp.asarray(tl_np)
+        if window is not None and window > 0:
+            runner = _WindowedStream(self, memp, tl, n, method, l_cap,
+                                     int(window))
+            return [runner.row_records(i) for i in range(n)]
         if method == "decoder":
             out = self._launch_single_hyp(memp, ctc, ids, tl, conf, l_cap,
                                           raw_select=True)
@@ -635,3 +653,136 @@ class RecognizerEngine:
             prev_text = text
             if finished:
                 break
+
+
+class _WindowedStream:
+    """Shared driver behind the incremental streaming generators.
+
+    Holds the on-device resumable decode state (ops/decode.BeamStreamState /
+    GreedyStreamState — tokens, scores, KV cache all stay device-resident
+    between dispatches) plus per-row host record buffers. ``advance()`` runs
+    ONE decode window for every row and converts its history into chunk
+    dicts; ``row_records(i)`` is a lazy generator that drives ``advance``
+    only when row i runs out of buffered records — so consuming rows in
+    reading order (pipeline._stream_chars_batched) gets region 1's first
+    chars after a single window, while later regions' records accumulate
+    for free and replay instantly.
+
+    Record content is bit-identical to the one-shot replay
+    (RecognizerEngine._stream_greedy/_stream_beam): the per-step math is
+    the same _beam_step/_greedy_step, and the conversion logic below
+    mirrors those methods line for line, just segmented at window
+    boundaries.
+    """
+
+    def __init__(self, engine: RecognizerEngine, memp, tl, n: int,
+                 method: str, l_cap: int, window: int):
+        self.e = engine
+        self.n = n
+        self.method = method
+        self.window = window
+        self.tl = tl
+        cfg, tok = engine.cfg, engine.tok
+        if method == "beam":
+            self.state, self.cross = D.beam_stream_init(
+                engine.variables, memp, tl, cfg=cfg, k_beam=cfg.BEAM,
+                l_cap=l_cap, bos_id=tok.dec_bos)
+        else:  # "decoder" — greedy streaming (raw-logits argmax quirk)
+            self.state, self.cross = D.greedy_stream_init(
+                engine.variables, memp, tl, cfg=cfg, l_cap=l_cap,
+                bos_id=tok.dec_bos)
+        self.buffers: List[List[Dict]] = [[] for _ in range(n)]
+        self._prev_texts = [""] * n          # beam diff state
+        self._texts = [""] * n               # greedy cumulative text
+        self._stopped = [False] * n          # finished record emitted
+        self._t0 = 0                         # global step of next window
+        self.done = False
+
+    def advance(self) -> None:
+        """Run one decode window for all rows; append its records."""
+        if self.done:
+            return
+        e, tok, cfg = self.e, self.e.tok, self.e.cfg
+        if self.method == "beam":
+            self.state, hist, all_done = D.beam_stream_window(
+                e.variables, self.state, self.cross, self.tl, cfg=cfg,
+                k_beam=cfg.BEAM, w=self.window, eos_id=tok.dec_eos,
+                unk_dec_id=tok.unk_id + tok.dec_offset)
+            htok = hist["tokens"]
+            if tok.dec_vocab < 65535:  # shrink the wire payload (tunnel)
+                htok = htok.astype(jnp.uint16)
+            # ONE transfer per window: history + progress + the done flag.
+            toks, lens, scores, fins, steps_done, new_t, all_done = \
+                jax.device_get((htok, hist["len"], hist["score"],
+                                hist["fin"], self.state.steps_done,
+                                self.state.t, all_done))
+            for i in range(self.n):
+                if self._stopped[i]:
+                    continue
+                k = max(0, int(steps_done[i]) - self._t0)
+                for s in range(k):
+                    ids = toks[i, s, 1:lens[i, s]]
+                    eos_pos = np.nonzero(ids == tok.dec_eos)[0]
+                    if eos_pos.size:
+                        ids = ids[: eos_pos[0]]
+                    text = tok.decode_dec(ids)
+                    prev = self._prev_texts[i]
+                    token = text[len(prev):] if len(text) > len(prev) else ""
+                    L = max(1, int(lens[i, s]) - 1)
+                    confidence = float(min(1.0, max(
+                        0.0, np.exp(scores[i, s] / L)))) if L > 0 else 0.0
+                    finished = bool(fins[i, s])
+                    self.buffers[i].append(
+                        {"token": token, "text": text,
+                         "confidence": confidence,
+                         "step": self._t0 + s + 1, "finished": finished})
+                    self._prev_texts[i] = text
+                    if finished:
+                        self._stopped[i] = True
+                        break
+        else:
+            self.state, hist, all_done = D.greedy_stream_window(
+                e.variables, self.state, self.cross, self.tl, cfg=cfg,
+                w=self.window, eos_id=tok.dec_eos,
+                unk_dec_id=tok.unk_id + tok.dec_offset)
+            extra, steps_done, new_t, all_done = jax.device_get(
+                (hist["extra"], self.state.steps_done, self.state.t,
+                 all_done))
+            for i in range(self.n):
+                if self._stopped[i]:
+                    continue
+                k = max(0, int(steps_done[i]) - self._t0)
+                for s in range(k):
+                    prob, tid = float(extra[i, s, 0]), int(extra[i, s, 1])
+                    finished = tid == tok.dec_eos
+                    char = ""
+                    if not finished and tid not in (tok.dec_pad, tok.dec_bos,
+                                                    tok.dec_eos):
+                        raw = tid - tok.dec_offset
+                        if 0 <= raw < tok.vocab_size:
+                            # Reference quirk (model.py:925-930): an <unk>
+                            # step yields token='<unk>' but the text stays.
+                            char = tok.id_to_token.get(raw, "")
+                            if char != tok.unk_token:
+                                self._texts[i] += char
+                    self.buffers[i].append(
+                        {"token": char, "token_id": tid,
+                         "text": self._texts[i], "confidence": prob,
+                         "step": self._t0 + s + 1, "finished": finished})
+                    if finished:
+                        self._stopped[i] = True
+                        break
+        self._t0 = int(new_t)
+        self.done = bool(all_done)
+
+    def row_records(self, i: int) -> Generator[Dict, None, None]:
+        emitted = 0
+        while True:
+            buf = self.buffers[i]
+            while emitted < len(buf):
+                rec = buf[emitted]
+                emitted += 1
+                yield rec
+            if self._stopped[i] or self.done:
+                return
+            self.advance()

@@ -214,6 +214,115 @@ def _labels_from_tokens(tokens: jnp.ndarray, lengths: jnp.ndarray,
 # ==========================================================================
 # Beam search
 # ==========================================================================
+def _beam_step(variables, cross_kvs, step_beams, fused_head, fused_qkv,
+               target_len, max_steps, t, tokens, scores, lengths, finished,
+               cache, steps_done, *, cfg, eos_id, unk_dec_id,
+               opt_identity_skip=True):
+    """One beam-search step for all N lines (shared by the one-shot
+    ``beam_search`` while_loop and the resumable ``beam_stream_window``).
+
+    Returns the updated (tokens, scores, lengths, finished, cache,
+    steps_done, line_active); lines past their step budget or with every
+    beam finished are frozen bit-for-bit.
+    """
+    n, K, l_buf = tokens.shape
+    line_active = (t < max_steps) & ~jnp.all(finished, axis=1)  # [N]
+
+    cur_tok = jnp.take_along_axis(
+        tokens, jnp.broadcast_to(jnp.maximum(lengths - 1, 0)[..., None],
+                                 (n, K, 1)), axis=2)[..., 0]
+    dec_logits, lm_logits, cache = R.decoder_step(
+        variables, cur_tok.reshape(n * K), t, cache, cross_kvs, cfg,
+        beams=step_beams, fused_head=fused_head, fused_qkv=fused_qkv)
+    logp = _fused_logp(dec_logits, lm_logits, cfg)         # [N*K, V]
+    tl_rep = jnp.repeat(target_len, K)
+    logp = apply_penalties(logp, tokens.reshape(n * K, l_buf), t, cfg,
+                           tl_rep, eos_id, unk_dec_id)
+    v = logp.shape[-1]
+    logp = logp.reshape(n, K, v)
+
+    topv, topi = jax.lax.top_k(logp, K)                    # [N, K, K]
+
+    # Candidate pool per line: K parents x K expansions.
+    # Finished parents contribute themselves once (slot 0) and -inf dummies.
+    exp_scores = scores[..., None] + topv                  # [N, K, K]
+    parent_fin = finished[..., None]                       # [N, K, 1]
+    self_slot = (jnp.arange(K) == 0)[None, None, :]
+    cand_scores = jnp.where(
+        parent_fin, jnp.where(self_slot, scores[..., None], NEG_INF), exp_scores)
+    cand_scores = jnp.maximum(cand_scores, NEG_INF)
+    cand_len = jnp.broadcast_to(
+        jnp.where(parent_fin, lengths[..., None], lengths[..., None] + 1),
+        (n, K, K))
+    cand_fin = jnp.where(parent_fin, True, topi == eos_id)
+    cand_tok = jnp.where(parent_fin, 0, topi)
+
+    def norm_penalty(L):
+        Lf = jnp.maximum(1, L).astype(jnp.float32)
+        return ((5.0 + Lf) ** cfg.BEAM_LENP) / ((5.0 + 1.0) ** cfg.BEAM_LENP)
+
+    normed = cand_scores / norm_penalty(cand_len - 1)
+    flat = lambda x: x.reshape(n, K * K)
+    sel_normed, sel_idx = jax.lax.top_k(flat(normed), K)   # [N, K]
+    parent = sel_idx // K
+
+    def g(x):  # gather candidate field by flat index
+        return jnp.take_along_axis(flat(x), sel_idx, axis=1)
+
+    new_scores = g(cand_scores)
+    new_lengths = g(cand_len)
+    new_finished = g(cand_fin)
+    new_tok_ids = g(cand_tok)
+
+    parent_tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
+    write_pos = jnp.take_along_axis(lengths, parent, axis=1)  # parent length
+    was_fin = jnp.take_along_axis(finished, parent, axis=1)
+    rowsN = jnp.broadcast_to(jnp.arange(n)[:, None], (n, K))
+    rowsK = jnp.broadcast_to(jnp.arange(K)[None, :], (n, K))
+    new_tokens = parent_tokens.at[rowsN, rowsK, write_pos].set(
+        jnp.where(was_fin, parent_tokens[rowsN, rowsK, jnp.minimum(write_pos, l_buf - 1)],
+                  new_tok_ids))
+
+    # Reorder KV cache rows to follow their parents. (Measured note:
+    # gating the gather to only-written length segments via lax.cond
+    # is bit-identical but SLOWER on TPU — the per-segment concatenate
+    # rebuilds the full buffer anyway; the plain whole-buffer gather
+    # wins.) opt_identity_skip wraps the gather in a scalar cond that
+    # skips it when the parent permutation is the identity.
+    flat_parent = (rowsN * K + parent).reshape(-1)
+    if opt_identity_skip:
+        is_identity = jnp.all(flat_parent == jnp.arange(n * K))
+        cache = jax.lax.cond(
+            is_identity, lambda c: c,
+            lambda c: {k: v[:, flat_parent] for k, v in c.items()}, cache)
+    else:
+        cache = {k: v[:, flat_parent] for k, v in cache.items()}
+
+    # Freeze lines that are done (keep previous state).
+    la = line_active[:, None]
+    tokens = jnp.where(la[..., None], new_tokens, tokens)
+    scores = jnp.where(la, new_scores, scores)
+    lengths = jnp.where(la, new_lengths, lengths)
+    finished = jnp.where(la, new_finished, finished)
+    steps_done = steps_done + line_active.astype(jnp.int32)
+    return tokens, scores, lengths, finished, cache, steps_done, line_active
+
+
+def _stream_best(cfg, tokens, scores, lengths, finished):
+    """Best-hypothesis snapshot under the reference STREAMING ordering —
+    plain L^p length normalization (kiri_ocr/model.py:1112-1115), not the
+    ((5+L)^p/6^p) pruning norm. Returns (tokens, len, score, finished) of
+    the per-line best beam."""
+    stream_norm = scores / (
+        jnp.maximum(1, lengths - 1).astype(jnp.float32) ** cfg.BEAM_LENP)
+    best_slot = jnp.argmax(stream_norm, axis=1)
+    bt = jnp.take_along_axis(tokens, best_slot[:, None, None], axis=1)[:, 0]
+    bl = jnp.take_along_axis(lengths, best_slot[:, None], axis=1)[:, 0]
+    bs = jnp.take_along_axis(scores, best_slot[:, None], axis=1)[:, 0]
+    bf = jnp.take_along_axis(finished, best_slot[:, None], axis=1)[:, 0]
+    return bt, bl, bs, bf
+
+
 @partial(jax.jit, static_argnames=("cfg", "k_beam", "l_cap", "record_history",
                                    "eos_id", "unk_dec_id", "dec_offset", "bos_id",
                                    "opt_shared_kv", "opt_fused_head",
@@ -275,10 +384,6 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
         "extra": jnp.zeros(hist_shape[:2] + (2,), jnp.float32),
     }
 
-    def norm_penalty(L):
-        Lf = jnp.maximum(1, L).astype(jnp.float32)
-        return ((5.0 + Lf) ** cfg.BEAM_LENP) / ((5.0 + 1.0) ** cfg.BEAM_LENP)
-
     def cond(state):
         t, tokens, scores, lengths, finished, cache, hist, steps_done = state
         line_active = (t < max_steps) & ~jnp.all(finished, axis=1)
@@ -286,92 +391,16 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
 
     def body(state):
         t, tokens, scores, lengths, finished, cache, hist, steps_done = state
-        line_active = (t < max_steps) & ~jnp.all(finished, axis=1)  # [N]
-
-        cur_tok = jnp.take_along_axis(
-            tokens, jnp.broadcast_to(jnp.maximum(lengths - 1, 0)[..., None],
-                                     (n, K, 1)), axis=2)[..., 0]
-        dec_logits, lm_logits, cache = R.decoder_step(
-            variables, cur_tok.reshape(n * K), t, cache, cross_kvs, cfg,
-            beams=step_beams, fused_head=fused_head, fused_qkv=fused_qkv)
-        logp = _fused_logp(dec_logits, lm_logits, cfg)         # [N*K, V]
-        tl_rep = jnp.repeat(target_len, K)
-        logp = apply_penalties(logp, tokens.reshape(n * K, l_buf), t, cfg,
-                               tl_rep, eos_id, unk_dec_id)
-        v = logp.shape[-1]
-        logp = logp.reshape(n, K, v)
-
-        topv, topi = jax.lax.top_k(logp, K)                    # [N, K, K]
-
-        # Candidate pool per line: K parents x K expansions.
-        # Finished parents contribute themselves once (slot 0) and -inf dummies.
-        exp_scores = scores[..., None] + topv                  # [N, K, K]
-        parent_fin = finished[..., None]                       # [N, K, 1]
-        self_slot = (jnp.arange(K) == 0)[None, None, :]
-        cand_scores = jnp.where(
-            parent_fin, jnp.where(self_slot, scores[..., None], NEG_INF), exp_scores)
-        cand_scores = jnp.maximum(cand_scores, NEG_INF)
-        cand_len = jnp.broadcast_to(
-            jnp.where(parent_fin, lengths[..., None], lengths[..., None] + 1),
-            (n, K, K))
-        cand_fin = jnp.where(parent_fin, True, topi == eos_id)
-        cand_tok = jnp.where(parent_fin, 0, topi)
-
-        normed = cand_scores / norm_penalty(cand_len - 1)
-        flat = lambda x: x.reshape(n, K * K)
-        sel_normed, sel_idx = jax.lax.top_k(flat(normed), K)   # [N, K]
-        parent = sel_idx // K
-
-        def g(x):  # gather candidate field by flat index
-            return jnp.take_along_axis(flat(x), sel_idx, axis=1)
-
-        new_scores = g(cand_scores)
-        new_lengths = g(cand_len)
-        new_finished = g(cand_fin)
-        new_tok_ids = g(cand_tok)
-
-        parent_tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
-        write_pos = jnp.take_along_axis(lengths, parent, axis=1)  # parent length
-        was_fin = jnp.take_along_axis(finished, parent, axis=1)
-        rowsN = jnp.broadcast_to(jnp.arange(n)[:, None], (n, K))
-        rowsK = jnp.broadcast_to(jnp.arange(K)[None, :], (n, K))
-        new_tokens = parent_tokens.at[rowsN, rowsK, write_pos].set(
-            jnp.where(was_fin, parent_tokens[rowsN, rowsK, jnp.minimum(write_pos, l_buf - 1)],
-                      new_tok_ids))
-
-        # Reorder KV cache rows to follow their parents. (Measured note:
-        # gating the gather to only-written length segments via lax.cond
-        # is bit-identical but SLOWER on TPU — the per-segment concatenate
-        # rebuilds the full buffer anyway; the plain whole-buffer gather
-        # wins.) opt_identity_skip wraps the gather in a scalar cond that
-        # skips it when the parent permutation is the identity.
-        flat_parent = (rowsN * K + parent).reshape(-1)
-        if opt_identity_skip:
-            is_identity = jnp.all(flat_parent == jnp.arange(n * K))
-            cache = jax.lax.cond(
-                is_identity, lambda c: c,
-                lambda c: {k: v[:, flat_parent] for k, v in c.items()}, cache)
-        else:
-            cache = {k: v[:, flat_parent] for k, v in cache.items()}
-
-        # Freeze lines that are done (keep previous state).
-        la = line_active[:, None]
-        tokens = jnp.where(la[..., None], new_tokens, tokens)
-        scores = jnp.where(la, new_scores, scores)
-        lengths = jnp.where(la, new_lengths, lengths)
-        finished = jnp.where(la, new_finished, finished)
-        steps_done = steps_done + line_active.astype(jnp.int32)
+        (tokens, scores, lengths, finished, cache, steps_done,
+         line_active) = _beam_step(
+            variables, cross_kvs, step_beams, fused_head, fused_qkv,
+            target_len, max_steps, t, tokens, scores, lengths, finished,
+            cache, steps_done, cfg=cfg, eos_id=eos_id, unk_dec_id=unk_dec_id,
+            opt_identity_skip=opt_identity_skip)
 
         if record_history:
-            # Reference streaming uses plain L^p normalization for ordering
-            # (kiri_ocr/model.py:1112-1115); beams[0] after sort == argmax.
-            stream_norm = scores / (
-                jnp.maximum(1, lengths - 1).astype(jnp.float32) ** cfg.BEAM_LENP)
-            best_slot = jnp.argmax(stream_norm, axis=1)
-            bt = jnp.take_along_axis(tokens, best_slot[:, None, None], axis=1)[:, 0]
-            bl = jnp.take_along_axis(lengths, best_slot[:, None], axis=1)[:, 0]
-            bs = jnp.take_along_axis(scores, best_slot[:, None], axis=1)[:, 0]
-            bf = jnp.take_along_axis(finished, best_slot[:, None], axis=1)[:, 0]
+            bt, bl, bs, bf = _stream_best(cfg, tokens, scores, lengths,
+                                          finished)
             w = jnp.minimum(t, hist["tokens"].shape[1] - 1)
             hist = {
                 "tokens": hist["tokens"].at[:, w].set(
@@ -595,6 +624,40 @@ def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
 # ==========================================================================
 # Greedy streaming decode (argmax-on-raw-logits reference quirk preserved)
 # ==========================================================================
+def _greedy_step(variables, cross_kvs, fused_head, fused_qkv, target_len,
+                 max_steps, t, tokens, lengths, score, finished, cache,
+                 steps_done, *, cfg, eos_id, unk_dec_id):
+    """One greedy AR step for all N lines (shared by ``greedy_decode`` and
+    ``greedy_stream_window``). Token choice is argmax of the RAW dec logits
+    (reference quirk, kiri_ocr/model.py:915-917). Returns the updated state
+    plus (active, best_prob, best_id) for history recording."""
+    n, l_buf = tokens.shape
+    active = (t < max_steps) & ~finished
+
+    cur_tok = jnp.take_along_axis(tokens, jnp.maximum(lengths - 1, 0)[:, None],
+                                  axis=1)[:, 0]
+    dec_logits, lm_logits, cache = R.decoder_step(
+        variables, cur_tok, t, cache, cross_kvs, cfg,
+        fused_head=fused_head, fused_qkv=fused_qkv)
+    logp = _fused_logp(dec_logits, lm_logits, cfg)
+    logp = apply_penalties(logp, tokens, t, cfg, target_len, eos_id, unk_dec_id)
+
+    raw_probs = jax.nn.softmax(dec_logits, axis=-1)
+    best_id = jnp.argmax(raw_probs, axis=-1).astype(jnp.int32)
+    best_prob = jnp.max(raw_probs, axis=-1)
+    best_logp = jnp.take_along_axis(logp, best_id[:, None], axis=1)[:, 0]
+
+    is_eos = best_id == eos_id
+    new_tokens = tokens.at[jnp.arange(n), lengths].set(
+        jnp.where(active, best_id, tokens[jnp.arange(n), jnp.minimum(lengths, l_buf - 1)]))
+    new_lengths = jnp.where(active, lengths + 1, lengths)
+    new_finished = jnp.where(active, is_eos, finished)
+    new_score = jnp.where(active, score + best_logp, score)
+    steps_done = steps_done + active.astype(jnp.int32)
+    return (new_tokens, new_lengths, new_score, new_finished, cache,
+            steps_done, active, best_prob, best_id, best_logp)
+
+
 @partial(jax.jit, static_argnames=("cfg", "l_cap", "eos_id", "unk_dec_id", "bos_id"))
 def greedy_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                   target_len: jnp.ndarray, *, cfg, l_cap: int,
@@ -631,27 +694,11 @@ def greedy_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
 
     def body(state):
         t, tokens, lengths, score, finished, cache, hist, steps_done = state
-        active = (t < max_steps) & ~finished
-
-        cur_tok = jnp.take_along_axis(tokens, jnp.maximum(lengths - 1, 0)[:, None],
-                                      axis=1)[:, 0]
-        dec_logits, lm_logits, cache = R.decoder_step(
-            variables, cur_tok, t, cache, cross_kvs, cfg,
-            fused_head=fused_head, fused_qkv=fused_qkv)
-        logp = _fused_logp(dec_logits, lm_logits, cfg)
-        logp = apply_penalties(logp, tokens, t, cfg, target_len, eos_id, unk_dec_id)
-
-        raw_probs = jax.nn.softmax(dec_logits, axis=-1)
-        best_id = jnp.argmax(raw_probs, axis=-1).astype(jnp.int32)
-        best_prob = jnp.max(raw_probs, axis=-1)
-        best_logp = jnp.take_along_axis(logp, best_id[:, None], axis=1)[:, 0]
-
-        is_eos = best_id == eos_id
-        new_tokens = tokens.at[jnp.arange(n), lengths].set(
-            jnp.where(active, best_id, tokens[jnp.arange(n), jnp.minimum(lengths, l_buf - 1)]))
-        new_lengths = jnp.where(active, lengths + 1, lengths)
-        new_finished = jnp.where(active, is_eos, finished)
-        new_score = jnp.where(active, score + best_logp, score)
+        (tokens, lengths, score, finished, cache, steps_done, active,
+         best_prob, best_id, best_logp) = _greedy_step(
+            variables, cross_kvs, fused_head, fused_qkv, target_len,
+            max_steps, t, tokens, lengths, score, finished, cache,
+            steps_done, cfg=cfg, eos_id=eos_id, unk_dec_id=unk_dec_id)
 
         w = jnp.minimum(t, l_cap - 1)
         hist = {
@@ -662,9 +709,8 @@ def greedy_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
             "logp": hist["logp"].at[:, w].set(
                 jnp.where(active, best_logp, hist["logp"][:, w])),
         }
-        steps_done = steps_done + active.astype(jnp.int32)
-        return (t + 1, new_tokens, new_lengths, new_score, new_finished,
-                cache, hist, steps_done)
+        return (t + 1, tokens, lengths, score, finished, cache, hist,
+                steps_done)
 
     state = (jnp.asarray(0, jnp.int32), tokens0, lengths0, score0, finished0,
              cache, hist, jnp.zeros((n,), jnp.int32))
@@ -677,6 +723,207 @@ def greedy_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     return DecodeOut(tokens, lengths, dec_conf, dec_conf, jnp.zeros((n,)),
                      z2, jnp.zeros((n, 1), jnp.int32), jnp.zeros((n, 1)),
                      jnp.zeros((n, 1), bool), steps_done, hist["extra"])
+
+
+# ==========================================================================
+# Incremental (windowed) streaming decode
+# ==========================================================================
+# The one-shot decoders above run the whole while_loop in a single dispatch
+# and replay recorded history — maximal throughput, but time-to-first-char is
+# the full page decode. The reference instead yields each token as its eager
+# loop computes it (kiri_ocr/model.py:779-946 greedy, :949-1153 beam). These
+# resumable variants close that gap the TPU way: decode state (tokens,
+# scores, KV cache) lives on device between dispatches; each
+# ``*_stream_window`` call advances every line by up to ``w`` steps and
+# returns just that window's history, which the host emits as chunks before
+# launching the next window. Step math is shared with the one-shot loops
+# (_beam_step/_greedy_step), so the record stream is bit-identical —
+# windowing changes only when results become visible.
+
+class BeamStreamState(NamedTuple):
+    t: jnp.ndarray          # scalar int32 — next step index
+    tokens: jnp.ndarray     # [N, K, l_buf]
+    scores: jnp.ndarray     # [N, K]
+    lengths: jnp.ndarray    # [N, K]
+    finished: jnp.ndarray   # [N, K] bool
+    cache: Dict[str, jnp.ndarray]
+    steps_done: jnp.ndarray  # [N]
+    max_steps: jnp.ndarray   # [N] per-line step budget (static over windows)
+
+
+class GreedyStreamState(NamedTuple):
+    t: jnp.ndarray
+    tokens: jnp.ndarray     # [N, l_buf]
+    lengths: jnp.ndarray    # [N]
+    score: jnp.ndarray      # [N]
+    finished: jnp.ndarray   # [N] bool
+    cache: Dict[str, jnp.ndarray]
+    steps_done: jnp.ndarray  # [N]
+    max_steps: jnp.ndarray   # [N]
+
+
+@partial(jax.jit, static_argnames=("cfg", "k_beam", "l_cap", "bos_id",
+                                   "opt_shared_kv"))
+def beam_stream_init(variables: Dict[str, Any], mem_proj: jnp.ndarray,
+                     target_len: jnp.ndarray, *, cfg, k_beam: int, l_cap: int,
+                     bos_id: int = 1, opt_shared_kv: bool = True
+                     ) -> Tuple[BeamStreamState, Any]:
+    """Initial beam state + per-layer cross-attention K/V (kept on device
+    and passed unchanged to every ``beam_stream_window`` call)."""
+    n, t_mem, _ = mem_proj.shape
+    K = k_beam
+    l_buf = l_cap + 2
+    if opt_shared_kv:
+        cross_kvs = R.decode_prepare(variables, mem_proj, cfg)
+    else:
+        cross_kvs = R.decode_prepare(variables,
+                                     jnp.repeat(mem_proj, K, axis=0), cfg)
+    cache = R.init_decode_cache(cfg, n * K, l_buf)
+    state = BeamStreamState(
+        t=jnp.asarray(0, jnp.int32),
+        tokens=jnp.zeros((n, K, l_buf), jnp.int32).at[:, :, 0].set(bos_id),
+        scores=jnp.full((n, K), NEG_INF).at[:, 0].set(0.0),
+        lengths=jnp.ones((n, K), jnp.int32),
+        finished=jnp.zeros((n, K), bool),
+        cache=cache,
+        steps_done=jnp.zeros((n,), jnp.int32),
+        max_steps=jnp.minimum(max_decode_steps(cfg, target_len, t_mem), l_cap))
+    return state, cross_kvs
+
+
+@partial(jax.jit, static_argnames=("cfg", "k_beam", "w", "eos_id",
+                                   "unk_dec_id", "opt_shared_kv",
+                                   "opt_identity_skip"))
+def beam_stream_window(variables: Dict[str, Any], state: BeamStreamState,
+                       cross_kvs, target_len: jnp.ndarray, *, cfg,
+                       k_beam: int, w: int, eos_id: int = 2,
+                       unk_dec_id: int = 3, opt_shared_kv: bool = True,
+                       opt_identity_skip: bool = True):
+    """Advance every line by up to ``w`` beam steps.
+
+    Returns (new_state, hist, all_done): ``hist`` holds the per-step
+    best-hypothesis snapshots of THIS window (hist["tokens"] [N, w, l_buf],
+    "len"/"score"/"fin" [N, w] — window-step s is global step state.t + s;
+    rows a line did not execute stay zero), ``all_done`` is a scalar bool
+    (no line has steps left). Step math identical to ``beam_search``.
+    """
+    n, K, l_buf = state.tokens.shape
+    step_beams = K if opt_shared_kv else 1
+    fused_head = R.fuse_output_heads(variables["params"])
+    fused_qkv = R.fuse_self_qkv(variables["params"])
+    t0 = state.t
+    t_end = t0 + w
+
+    hist0 = {
+        "tokens": jnp.zeros((n, w, l_buf), jnp.int32),
+        "len": jnp.zeros((n, w), jnp.int32),
+        "score": jnp.zeros((n, w), jnp.float32),
+        "fin": jnp.zeros((n, w), bool),
+    }
+
+    def cond(s):
+        t, tokens, scores, lengths, finished, cache, steps_done, hist = s
+        line_active = (t < state.max_steps) & ~jnp.all(finished, axis=1)
+        return (t < t_end) & jnp.any(line_active)
+
+    def body(s):
+        t, tokens, scores, lengths, finished, cache, steps_done, hist = s
+        (tokens, scores, lengths, finished, cache, steps_done,
+         line_active) = _beam_step(
+            variables, cross_kvs, step_beams, fused_head, fused_qkv,
+            target_len, state.max_steps, t, tokens, scores, lengths,
+            finished, cache, steps_done, cfg=cfg, eos_id=eos_id,
+            unk_dec_id=unk_dec_id, opt_identity_skip=opt_identity_skip)
+        bt, bl, bs, bf = _stream_best(cfg, tokens, scores, lengths, finished)
+        wi = t - t0
+        hist = {
+            "tokens": hist["tokens"].at[:, wi].set(
+                jnp.where(line_active[:, None], bt, hist["tokens"][:, wi])),
+            "len": hist["len"].at[:, wi].set(
+                jnp.where(line_active, bl, hist["len"][:, wi])),
+            "score": hist["score"].at[:, wi].set(
+                jnp.where(line_active, bs, hist["score"][:, wi])),
+            "fin": hist["fin"].at[:, wi].set(
+                jnp.where(line_active, bf, hist["fin"][:, wi])),
+        }
+        return (t + 1, tokens, scores, lengths, finished, cache, steps_done,
+                hist)
+
+    t, tokens, scores, lengths, finished, cache, steps_done, hist = \
+        jax.lax.while_loop(cond, body, (t0, state.tokens, state.scores,
+                                        state.lengths, state.finished,
+                                        state.cache, state.steps_done, hist0))
+    new_state = BeamStreamState(t, tokens, scores, lengths, finished, cache,
+                                steps_done, state.max_steps)
+    all_done = ~jnp.any((t < state.max_steps) & ~jnp.all(finished, axis=1))
+    return new_state, hist, all_done
+
+
+@partial(jax.jit, static_argnames=("cfg", "l_cap", "bos_id"))
+def greedy_stream_init(variables: Dict[str, Any], mem_proj: jnp.ndarray,
+                       target_len: jnp.ndarray, *, cfg, l_cap: int,
+                       bos_id: int = 1) -> Tuple[GreedyStreamState, Any]:
+    """Initial greedy state + cross-attention K/V for windowed streaming."""
+    n, t_mem, _ = mem_proj.shape
+    l_buf = l_cap + 2
+    cross_kvs = R.decode_prepare(variables, mem_proj, cfg)
+    cache = R.init_decode_cache(cfg, n, l_buf)
+    state = GreedyStreamState(
+        t=jnp.asarray(0, jnp.int32),
+        tokens=jnp.zeros((n, l_buf), jnp.int32).at[:, 0].set(bos_id),
+        lengths=jnp.ones((n,), jnp.int32),
+        score=jnp.zeros((n,), jnp.float32),
+        finished=jnp.zeros((n,), bool),
+        cache=cache,
+        steps_done=jnp.zeros((n,), jnp.int32),
+        max_steps=jnp.minimum(max_decode_steps(cfg, target_len, t_mem), l_cap))
+    return state, cross_kvs
+
+
+@partial(jax.jit, static_argnames=("cfg", "w", "eos_id", "unk_dec_id"))
+def greedy_stream_window(variables: Dict[str, Any], state: GreedyStreamState,
+                         cross_kvs, target_len: jnp.ndarray, *, cfg, w: int,
+                         eos_id: int = 2, unk_dec_id: int = 3):
+    """Advance every line by up to ``w`` greedy steps (argmax-on-raw-logits
+    reference quirk preserved — see ``greedy_decode``).
+
+    Returns (new_state, hist, all_done); hist["extra"] [N, w, 2] carries
+    (raw prob, token id) per window step for the streaming chunk schema.
+    """
+    n, l_buf = state.tokens.shape
+    fused_head = R.fuse_output_heads(variables["params"])
+    fused_qkv = R.fuse_self_qkv(variables["params"])
+    t0 = state.t
+    t_end = t0 + w
+    hist0 = {"extra": jnp.zeros((n, w, 2), jnp.float32)}
+
+    def cond(s):
+        t, tokens, lengths, score, finished, cache, steps_done, hist = s
+        return (t < t_end) & jnp.any((t < state.max_steps) & ~finished)
+
+    def body(s):
+        t, tokens, lengths, score, finished, cache, steps_done, hist = s
+        (tokens, lengths, score, finished, cache, steps_done, active,
+         best_prob, best_id, _) = _greedy_step(
+            variables, cross_kvs, fused_head, fused_qkv, target_len,
+            state.max_steps, t, tokens, lengths, score, finished, cache,
+            steps_done, cfg=cfg, eos_id=eos_id, unk_dec_id=unk_dec_id)
+        wi = t - t0
+        hist = {"extra": hist["extra"].at[:, wi].set(
+            jnp.where(active[:, None],
+                      jnp.stack([best_prob, best_id.astype(jnp.float32)], -1),
+                      hist["extra"][:, wi]))}
+        return (t + 1, tokens, lengths, score, finished, cache, steps_done,
+                hist)
+
+    t, tokens, lengths, score, finished, cache, steps_done, hist = \
+        jax.lax.while_loop(cond, body, (t0, state.tokens, state.lengths,
+                                        state.score, state.finished,
+                                        state.cache, state.steps_done, hist0))
+    new_state = GreedyStreamState(t, tokens, lengths, score, finished, cache,
+                                  steps_done, state.max_steps)
+    all_done = ~jnp.any((t < state.max_steps) & ~finished)
+    return new_state, hist, all_done
 
 
 def pick_l_cap(cfg, max_steps_host: int) -> int:

@@ -65,6 +65,7 @@ class OCR:
         det_kwargs: Optional[Dict] = None,
         upload_bits: int = 8,
         deskew_single_resample: bool = True,
+        stream_window: Optional[int] = None,
     ):
         if preprocess not in ("host", "device"):
             raise ValueError(
@@ -114,6 +115,15 @@ class OCR:
         #: the extraction would upscale (scale >= 0.75); strong downscales
         #: keep the two-step path for its area-averaging resize.
         self.deskew_single_resample = deskew_single_resample
+        #: Step-window size for INCREMENTAL character streaming: the AR
+        #: streaming decoders run in resumable W-step windows (state +
+        #: KV cache stay on device) and each window's chunks are emitted
+        #: before the next launches, so time-to-first-char is one window
+        #: rather than the page decode (matching the reference's
+        #: yield-inside-the-loop behavior, kiri_ocr/model.py:779-946).
+        #: None -> cfg.STREAM_WINDOW after model load; 0 disables (one-shot
+        #: decode + replay, maximal throughput).
+        self.stream_window = stream_window
         # Set per page by _deskew_crop_view: True when crops come from the
         # deskew-resampled frame (enables the sharpen repair).
         self._crops_resampled = False
@@ -128,6 +138,8 @@ class OCR:
 
         resolved = self._resolve_model_path(model_path)
         self._load_model(resolved)
+        if self.stream_window is None:
+            self.stream_window = self.cfg.STREAM_WINDOW
         self._detector = None
 
     # ------------------------------------------------------------ utilities
@@ -268,7 +280,8 @@ class OCR:
         img = self._coerce_input(image_tensor)
         method = (self._normalize_decode_method(decode_method)
                   if decode_method is not None else self.decode_method)
-        yield from self.engine.stream_records(img, method)
+        yield from self.engine.stream_records(
+            img, method, window=self.stream_window or None)
 
     def recognize_streaming(self, image_path, decode_method: Optional[str] = None
                             ) -> Generator[Dict, None, None]:
@@ -631,7 +644,8 @@ class OCR:
         crops, kept, sharpen = self._cut_crops(img_gray, boxes)
         batch, _ = preprocess_crops(self.cfg, crops, enhance=self.enhance,
                                     sharpen=sharpen)
-        record_lists = self.engine.stream_records_batch(batch, method)
+        record_lists = self.engine.stream_records_batch(
+            batch, method, window=self.stream_window or None)
         by_index = {bi: recs for bi, recs in zip(kept, record_lists)}
 
         all_region_texts: List[str] = []
