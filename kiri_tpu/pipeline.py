@@ -143,6 +143,25 @@ class OCR:
         self._detector = None
 
     # ------------------------------------------------------------ utilities
+    def _stream_window_for(self, method: str) -> Optional[int]:
+        """Streaming mode per decode method (measured on the v5e tunnel,
+        32-line page, scripts/bench_streaming.py):
+
+        - beam: WINDOWED — the one-shot loop runs to completion and then
+          downloads the full [N, S, L] history (TTFC 365 ms / 45 lines/s vs
+          windowed 233 ms / 62 lines/s).
+        - decoder (greedy): one-shot SPECULATIVE decode, which finishes the
+          whole page in ~2 teacher-forced dispatches — its TTFC (196 ms)
+          beats even the FIRST window of the step loop (274 ms), so
+          windowing would only delay chars. Windowed engages when
+          SPEC_DECODE is off (the step loop then profits from windows).
+        """
+        if not self.stream_window:
+            return None
+        if method == "decoder" and self.cfg.SPEC_DECODE:
+            return None
+        return self.stream_window
+
     @staticmethod
     def _normalize_decode_method(method: str) -> str:
         method = method.lower().strip()
@@ -281,7 +300,7 @@ class OCR:
         method = (self._normalize_decode_method(decode_method)
                   if decode_method is not None else self.decode_method)
         yield from self.engine.stream_records(
-            img, method, window=self.stream_window or None)
+            img, method, window=self._stream_window_for(method))
 
     def recognize_streaming(self, image_path, decode_method: Optional[str] = None
                             ) -> Generator[Dict, None, None]:
@@ -645,7 +664,7 @@ class OCR:
         batch, _ = preprocess_crops(self.cfg, crops, enhance=self.enhance,
                                     sharpen=sharpen)
         record_lists = self.engine.stream_records_batch(
-            batch, method, window=self.stream_window or None)
+            batch, method, window=self._stream_window_for(method))
         by_index = {bi: recs for bi, recs in zip(kept, record_lists)}
 
         all_region_texts: List[str] = []
