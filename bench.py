@@ -53,6 +53,7 @@ def _avg_cer(texts, outs) -> float:
 
 
 def main() -> None:
+    t_start = time.monotonic()
     import jax
 
     from __graft_entry__ import _flagship
@@ -224,6 +225,36 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1000)
 
+    # Distribution-shifted page accuracy: synthetic DOCUMENTS through the
+    # full pipeline (DB detection + deskew + enhance + fast decode), scored
+    # per robustness condition — so the driver artifact carries end-to-end
+    # accuracy off the recognizer's own training distribution, not only the
+    # self-synthetic line CER above (the reference never measures pages at
+    # all; its harness is pre-cropped lines). Wall-clock-guarded so a slow
+    # tunnel day can't starve the throughput rows; partial/skipped rows say
+    # so. Opt out with KIRI_BENCH_PAGES=0.
+    import os
+
+    page: dict = {}
+    if os.environ.get("KIRI_BENCH_PAGES", "1") != "0" and ckpt.exists() \
+            and time.monotonic() - t_start < 330:
+        try:
+            from kiri_tpu.evalpage import eval_condition
+            from kiri_tpu.pipeline import OCR as _OCR
+
+            pocr = _OCR(str(ckpt), det_method="db", decode_method="fast",
+                        deskew=True, enhance=True)
+            deadline = t_start + 480
+            for cond in ("clean", "rotated", "noisy"):
+                if time.monotonic() > deadline:
+                    break
+                row = eval_condition(pocr, cond, n=3, deadline=deadline)
+                page[f"page_cer_{cond}"] = row["matched_cer"]
+                page[f"page_recall_{cond}"] = row["line_recall"]
+                page[f"page_docs_{cond}"] = row["docs"]
+        except Exception as e:  # never lose the headline rows to this block
+            page["page_cer_note"] = f"skipped: {type(e).__name__}: {e}"
+
     result = {
         "metric": "lines/sec/chip (CTC fast decode, batched)",
         "value": round(lines_per_sec, 2),
@@ -245,6 +276,7 @@ def main() -> None:
         "trained_checkpoint": ckpt.exists(),
         "n_lines": N_LINES,
         "batch": BATCH,
+        **page,
     }
     print(json.dumps(result))
 
