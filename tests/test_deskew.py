@@ -148,20 +148,16 @@ def test_eval_pipeline_reading_order():
     """Two-column GT (emitted per-column by the generator) must be re-sorted
     into y-band reading order — the same order the facade emits — before
     doc-level CER, or column interleave charges ~0.3 CER of ordering noise."""
-    import sys
-    from pathlib import Path
-
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
-    from eval_pipeline import _reading_order
+    from kiri_tpu.evalpage import reading_order
 
     # column-major GT: left column rows 1..3, then right column rows 1..3
     items = [((10, 10, 100, 20), "L1"), ((10, 40, 100, 20), "L2"),
              ((10, 70, 100, 20), "L3"),
              ((200, 12, 100, 20), "R1"), ((200, 41, 100, 20), "R2"),
              ((200, 71, 100, 20), "R3")]
-    ordered = [t for _, t in _reading_order(items)]
+    ordered = [t for _, t in reading_order(items)]
     assert ordered == ["L1", "R1", "L2", "R2", "L3", "R3"]
-    assert _reading_order([]) == []
+    assert reading_order([]) == []
 
 
 def test_extract_crop_single_resample_geometry():
