@@ -199,11 +199,16 @@ def precompute_cross_kv(p: Params, mem: jnp.ndarray, n_heads: int) -> Tuple[jnp.
 
 
 def init_self_cache(n_layers: int, batch: int, max_len: int, n_heads: int,
-                    head_dim: int, dtype) -> Dict[str, jnp.ndarray]:
-    return {
-        "k": jnp.zeros((n_layers, batch, max_len, n_heads, head_dim), dtype),
-        "v": jnp.zeros((n_layers, batch, max_len, n_heads, head_dim), dtype),
-    }
+                    head_dim: int, dtype) -> jnp.ndarray:
+    """Self-attention KV cache as ONE array [L, B, Tmax, 2, H, hd]
+    (slot 0 = K, slot 1 = V).
+
+    A single tensor instead of a {k, v} dict halves the number of
+    whole-cache-sized ops in the beam loop — the measured dominant cost of
+    beam search on the v5e (trace r4: ~7 cache-sized ops x ~0.5 ms per
+    step; the per-step DUS writes and the beam parent-permute gather each
+    become one op instead of two)."""
+    return jnp.zeros((n_layers, batch, max_len, 2, n_heads, head_dim), dtype)
 
 
 def fuse_qkv(p_attn: Params) -> Params:
@@ -223,16 +228,16 @@ def fuse_qkv(p_attn: Params) -> Params:
 
 
 def decoder_step_layer(p: Params, x: jnp.ndarray, layer_idx: int,
-                       cache: Dict[str, jnp.ndarray], pos: jnp.ndarray,
+                       cache: jnp.ndarray, pos: jnp.ndarray,
                        cross_k: jnp.ndarray, cross_v: jnp.ndarray,
                        n_heads: int, beams: int = 1,
                        fused_qkv: Optional[Params] = None
-                       ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One decoder layer for a single new position with KV cache.
 
     x:      [B, 1, D] current-token activations
     pos:    scalar int — write index into the cache (same for all rows)
-    cache:  stacked per-layer K/V [L, B, Tmax, H, hd]
+    cache:  stacked per-layer K/V [L, B, Tmax, 2, H, hd] (init_self_cache)
     beams:  static beam count K. When >1, ``cross_k``/``cross_v`` are
             [B//K, T, H, hd] — shared across the K beams of each line
             instead of repeated K times, so each decode step reads the
@@ -255,14 +260,12 @@ def decoder_step_layer(p: Params, x: jnp.ndarray, layer_idx: int,
         k_new = _split_heads(dense(p["self_attn"]["wk"], h), n_heads)
         v_new = _split_heads(dense(p["self_attn"]["wv"], h), n_heads)
 
-    ck = jax.lax.dynamic_update_slice(
-        cache["k"], k_new[None].astype(cache["k"].dtype), (layer_idx, 0, pos, 0, 0))
-    cv = jax.lax.dynamic_update_slice(
-        cache["v"], v_new[None].astype(cache["v"].dtype), (layer_idx, 0, pos, 0, 0))
-    cache = {"k": ck, "v": cv}
+    kv_new = jnp.stack([k_new, v_new], axis=2)       # [B, 1, 2, H, hd]
+    cache = jax.lax.dynamic_update_slice(
+        cache, kv_new[None].astype(cache.dtype), (layer_idx, 0, pos, 0, 0, 0))
 
-    keys = ck[layer_idx]   # [B, Tmax, H, hd]
-    vals = cv[layer_idx]
+    keys = cache[layer_idx, :, :, 0]   # [B, Tmax, H, hd]
+    vals = cache[layer_idx, :, :, 1]
     t_max = keys.shape[1]
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, keys.astype(q.dtype),

@@ -293,10 +293,9 @@ def _beam_step(variables, cross_kvs, step_beams, fused_head, fused_qkv,
     if opt_identity_skip:
         is_identity = jnp.all(flat_parent == jnp.arange(n * K))
         cache = jax.lax.cond(
-            is_identity, lambda c: c,
-            lambda c: {k: v[:, flat_parent] for k, v in c.items()}, cache)
+            is_identity, lambda c: c, lambda c: c[:, flat_parent], cache)
     else:
-        cache = {k: v[:, flat_parent] for k, v in cache.items()}
+        cache = cache[:, flat_parent]
 
     # Freeze lines that are done (keep previous state).
     la = line_active[:, None]
