@@ -18,7 +18,8 @@ shape is the only knob.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -26,6 +27,53 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None,
+               local_device_count: Optional[int] = None) -> None:
+    """Multi-process (multi-host) entry point: join the JAX distributed
+    runtime so ``jax.devices()`` spans every process's chips and jit'ed
+    collectives ride ICI/DCN across them.
+
+    The TPU-native equivalent of a NCCL/MPI init (SURVEY §2.5 — the
+    reference has none): on real multi-host TPU slices call with no
+    arguments (the TPU metadata server provides coordinator/process info);
+    on CPU/GPU clusters pass ``coordinator_address='host:port'``,
+    ``num_processes`` and this process's ``process_id``.
+
+    ``local_device_count`` (CPU only) forces N virtual local devices per
+    process — used by the 2-process CPU tests; must be set before the
+    first JAX backend initialization.
+
+    Call once per process, before building meshes. Safe to call on a
+    single-process setup with no arguments only on TPU; for single-process
+    CPU runs just skip it (``jax.distributed.initialize`` requires a
+    coordinator otherwise).
+    """
+    if local_device_count is not None:
+        import re
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                       flags).strip()
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count="
+            f"{local_device_count}").strip()
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def process_info() -> Tuple[int, int]:
+    """(process_index, process_count) of this process in the global mesh."""
+    return jax.process_index(), jax.process_count()
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
@@ -130,6 +178,46 @@ def batch_shardings(batch: Dict[str, Any], mesh: Mesh):
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh):
     return jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
+
+
+def local_batch_slice(n_global: int) -> Tuple[int, int]:
+    """This process's contiguous row range [lo, hi) of a global batch.
+
+    ``make_mesh`` reshapes ``jax.devices()`` — which orders devices by
+    process — into (data, model), so with the model axis contained inside a
+    process the data axis maps processes to contiguous global-row blocks.
+    ``n_global`` must be divisible by process_count (pad first via
+    ``pad_batch_to_devices``).
+    """
+    pid, pc = process_info()
+    if n_global % pc != 0:
+        raise ValueError(f"global batch {n_global} not divisible by "
+                         f"process_count {pc}")
+    per = n_global // pc
+    return pid * per, (pid + 1) * per
+
+
+def shard_batch_global(batch: Dict[str, Any], mesh: Mesh):
+    """Multi-process batch placement: every process passes the SAME global
+    batch (host numpy); each contributes only its local rows and the result
+    is a global jax.Array sharded over the mesh's data axis.
+
+    Single-process meshes degrade to plain ``shard_batch``, so callers can
+    use this unconditionally.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    n = jax.tree.leaves(batch)[0].shape[0]
+    lo, hi = local_batch_slice(n)
+    shardings = batch_shardings(batch, mesh)
+
+    def place(x, s):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.make_array_from_process_local_data(s, x)
+        return jax.make_array_from_process_local_data(s, x[lo:hi])
+
+    return jax.tree.map(place, batch, shardings)
 
 
 def pad_batch_to_devices(batch: Dict[str, Any], mesh: Mesh):

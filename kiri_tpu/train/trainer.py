@@ -35,7 +35,8 @@ from ..config import CFG
 from ..models import recognizer as R
 from ..ops.ctc import ctc_loss
 from ..parallel import (DATA_AXIS, batch_shardings, make_mesh,
-                        pad_batch_to_devices, shard_batch, shard_variables,
+                        pad_batch_to_devices, shard_batch,
+                        shard_batch_global, shard_variables,
                         variable_shardings)
 from ..tokenizer import CharTokenizer
 from .checkpoints import load_checkpoint, load_opt_state, save_checkpoint
@@ -368,8 +369,11 @@ class Trainer:
     # -------------------------------------------------------------- stepping
     def run_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
         if self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1:
+            # Multi-process runs feed every process the same global batch;
+            # shard_batch_global keeps only this process's rows (and is
+            # plain shard_batch at process_count 1).
             batch, _ = pad_batch_to_devices(batch, self.mesh)
-            batch = shard_batch(batch, self.mesh)
+            batch = shard_batch_global(batch, self.mesh)
         self._rng, rng = jax.random.split(self._rng)
         self.variables, self.opt_state, metrics = self.train_step(
             self.variables, self.opt_state, batch, rng)
@@ -429,6 +433,10 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoints
     def save(self, path, vocab_path: str = "") -> None:
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # Multi-process: params are replicated (TP shards stay inside a
+            # process), so process 0 alone writes the checkpoint.
+            return
         save_checkpoint(path, jax.device_get(self.variables), self.cfg,
                         vocab_path=vocab_path, epoch=self.epoch,
                         step=self.step, best_val_acc=self.best_val_acc,
