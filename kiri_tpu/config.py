@@ -99,6 +99,13 @@ class CFG:
     # step-loop's cost; rows unfinished at the budget are re-decoded with
     # the step loop (engine fallback). Typical lines converge in 1-2 rounds.
     SPEC_MAX_ROUNDS: int = 8
+    # Accurate ("decoder") mode: rescore the accepted AR transcript against
+    # the CTC transcript with beam's CTC-fusion formula and keep the winner
+    # (ops/decode.spec_decode ctc_logits=...). The AR head's residual errors
+    # are mostly single-char slips the CTC head doesn't make, so this closes
+    # most of the accurate-vs-beam CER gap at zero extra decoder passes.
+    # False restores the pure sequential-decode-equivalent output.
+    ACCURATE_CTC_RESCORE: bool = True
     # Step-window size for incremental character streaming: the AR
     # streaming decoders run as resumable W-step windows (decode state and
     # KV cache stay on device between dispatches) and each window's chunks

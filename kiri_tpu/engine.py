@@ -446,13 +446,15 @@ class RecognizerEngine:
         the KV-cached step loop runs (beam_search k=1 / greedy_decode).
         """
         if self.cfg.SPEC_DECODE and ctc is not None and ids is not None:
+            rescore = (not raw_select) and self.cfg.ACCURATE_CTC_RESCORE
             return D.spec_decode(
                 self.variables, memp, ids, tl,
                 None if raw_select else conf, cfg=self.cfg, l_cap=l_cap,
                 eos_id=self.tok.dec_eos,
                 unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
                 dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos,
-                raw_select=raw_select, max_rounds=self.cfg.SPEC_MAX_ROUNDS)
+                raw_select=raw_select, max_rounds=self.cfg.SPEC_MAX_ROUNDS,
+                ctc_logits=ctc if rescore else None)
         if raw_select:
             return D.greedy_decode(
                 self.variables, memp, tl, cfg=self.cfg, l_cap=l_cap,

@@ -460,7 +460,8 @@ def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 ctc_conf: Optional[jnp.ndarray], *, cfg, l_cap: int,
                 eos_id: int = 2, unk_dec_id: int = 3, dec_offset: int = 3,
                 bos_id: int = 1, raw_select: bool = False,
-                max_rounds: int = 0) -> DecodeOut:
+                max_rounds: int = 0,
+                ctc_logits: Optional[jnp.ndarray] = None) -> DecodeOut:
     """Speculative AR decode: the greedy-CTC transcript drafts the output and
     whole-suffix teacher-forced passes verify it.
 
@@ -499,6 +500,18 @@ def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
              unfinished after the budget return ``converged=False`` and the
              caller re-decodes them with the step loop (engine fallback) —
              typical batches converge in 1-2 rounds and never trigger it.
+    ctc_logits: [N, T, C] raw CTC frames. When given (and not raw_select,
+             and cfg.CTC_FUSION_ALPHA > 0), the final output is a TWO-
+             candidate CTC-fused rescore — the accepted AR transcript vs
+             the CTC draft itself — scored exactly like beam's final fusion
+             (length-normalized decoder logp + alpha * ctc_alignment_scores).
+             The draft's decoder score is free: round 1 already teacher-
+             forces every draft position. This closes most of the greedy-AR
+             vs beam CER gap (the AR head's errors are single-char slips the
+             CTC head doesn't make) at zero extra decoder passes. Rows where
+             both candidates agree (the common case: the loop accepted the
+             whole draft) are unaffected. Omit for the pure step-loop-
+             equivalent output.
     """
     n, t_mem, _ = mem_proj.shape
     l_buf = l_cap + 2
@@ -528,19 +541,25 @@ def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     score0 = jnp.zeros((n,), jnp.float32)
     finished0 = jnp.zeros((n,), bool)
     hist_prob0 = jnp.zeros((n, l_buf), jnp.float32)
+    draft_score0 = jnp.full((n,), NEG_INF, jnp.float32)
+
+    rescore = (ctc_logits is not None and not raw_select
+               and cfg.CTC_FUSION_ALPHA > 0 and ctc_ids is not None)
 
     pos = jnp.arange(l_buf)[None, :]
     rowsN = jnp.arange(n)
 
     def cond(state):
-        rounds, tokens, prop_len, acc_len, score, finished, hist_prob = state
+        (rounds, tokens, prop_len, acc_len, score, finished, hist_prob,
+         draft_score) = state
         alive = jnp.any(~finished & (acc_len - 1 < max_steps))
         if max_rounds > 0:
             alive &= rounds < max_rounds
         return alive
 
     def body(state):
-        rounds, tokens, prop_len, acc_len, score, finished, hist_prob = state
+        (rounds, tokens, prop_len, acc_len, score, finished, hist_prob,
+         draft_score) = state
         active = ~finished & (acc_len - 1 < max_steps)
 
         dec_logits, lm_logits = R.decoder_forward_heads(
@@ -562,6 +581,20 @@ def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
         # the model's own choice there.
         prop_next = jnp.concatenate(
             [tokens[:, 1:], jnp.zeros((n, 1), jnp.int32)], axis=1)
+
+        if rescore:
+            # Round 1's proposal IS the CTC draft, teacher-forced at every
+            # position: its sequential-decode score (penalized logp of each
+            # draft token, plus eos after the full draft) is read off here
+            # for the final two-candidate fusion rescore.
+            tok_logp = jnp.take_along_axis(
+                logp, prop_next[..., None], axis=-1)[..., 0]
+            pm = pos + 1 < prop_len[:, None]
+            eos_pos = jnp.maximum(prop_len - 1, 0)[:, None]
+            eos_lp = jnp.take_along_axis(logp[..., eos_id], eos_pos,
+                                         axis=1)[:, 0]
+            dsum = jnp.sum(jnp.where(pm, tok_logp, 0.0), axis=1) + eos_lp
+            draft_score = jnp.where(rounds == 0, dsum, draft_score)
         good = ((pos + 1 < prop_len[:, None]) & (pos < max_steps[:, None])
                 & (chosen == prop_next))
         bad = (pos >= (acc_len - 1)[:, None]) & ~good
@@ -589,13 +622,41 @@ def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                                  jnp.maximum(prop_len, new_acc_len), prop_len)
         new_hist = jnp.where(active[:, None], chosen_prob, hist_prob)
         return (rounds + 1, tokens, new_prop_len, new_acc_len, new_score,
-                new_finished, new_hist)
+                new_finished, new_hist, draft_score)
 
-    _, tokens, prop_len, acc_len, score, finished, hist_prob = \
+    _, tokens, prop_len, acc_len, score, finished, hist_prob, draft_score = \
         jax.lax.while_loop(
             cond, body, (jnp.asarray(0, jnp.int32), tokens0, prop_len0,
-                         acc_len0, score0, finished0, hist_prob0))
+                         acc_len0, score0, finished0, hist_prob0,
+                         draft_score0))
     converged = finished | (acc_len - 1 >= max_steps)
+
+    if rescore:
+        # Two-candidate CTC-fused selection, same formula as beam's final
+        # rescoring (dec logp / L^BEAM_LENP + alpha * ctc_alignment): A = the
+        # accepted AR transcript, B = the CTC draft with eos appended. B is
+        # considered only where the loop converged (unconverged rows go to
+        # the caller's step-loop fallback) and the draft fits the budget.
+        log_probs = jax.nn.log_softmax(ctc_logits, axis=-1)
+        labels_a, lens_a = _labels_from_tokens(tokens, acc_len, eos_id,
+                                               dec_offset)
+        align_a = ctc_alignment_scores(log_probs, labels_a, lens_a)
+        tokens_b = tokens0.at[rowsN, jnp.minimum(prop_len0, l_buf - 1)].set(
+            eos_id)
+        len_b = jnp.minimum(prop_len0 + 1, l_buf)
+        labels_b, lens_b = _labels_from_tokens(tokens_b, len_b, eos_id,
+                                               dec_offset)
+        align_b = ctc_alignment_scores(log_probs, labels_b, lens_b)
+        l_a = jnp.maximum(1, acc_len - 1).astype(jnp.float32)
+        l_bn = jnp.maximum(1, len_b - 1).astype(jnp.float32)
+        comb_a = score / (l_a ** cfg.BEAM_LENP) + cfg.CTC_FUSION_ALPHA * align_a
+        comb_b = (draft_score / (l_bn ** cfg.BEAM_LENP)
+                  + cfg.CTC_FUSION_ALPHA * align_b)
+        use_b = ((comb_b > comb_a) & (prop_len0 > 1) & converged
+                 & (prop_len0 - 1 <= max_steps))
+        tokens = jnp.where(use_b[:, None], tokens_b, tokens)
+        acc_len = jnp.where(use_b, len_b, acc_len)
+        score = jnp.where(use_b, draft_score, score)
 
     L = jnp.maximum(1, acc_len - 1).astype(jnp.float32)
     dec_conf = jnp.clip(jnp.where(acc_len > 1, jnp.exp(score / L), 0.0),

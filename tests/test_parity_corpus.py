@@ -487,14 +487,25 @@ def test_flagship_accurate_corpus(flagship_pair, corpus):
     imgs, _ = corpus
     sel = imgs[:6]
     _, ref_memp, ref_ctc = _ref_encode_batch(ref_model, sel)
-    ours = engine.recognize_batch(sel, "decoder")
+    # ACCURATE_CTC_RESCORE off: this test proves the spec decoder reproduces
+    # the reference's sequential beam-K1 exactly; the rescored default may
+    # legitimately pick the CTC transcript where its fused score wins
+    # (candidate-membership covered in test_spec_decode.py).
+    eng0 = RecognizerEngine(variables,
+                            cfg.replace(ACCURATE_CTC_RESCORE=False), tok)
+    ours = eng0.recognize_batch(sel, "decoder")
     ref_cfg1 = dataclasses.replace(ref_cfg, BEAM=1)
+    ctc_texts = [t for t, _ in engine.recognize_batch(sel, "ctc")]
+    rescored = engine.recognize_batch(sel, "decoder")
     for i in range(len(sel)):
         ref_text, ref_conf = beam_decode_one_batched(
             ref_model, ref_memp[i: i + 1], ref_tok, ref_cfg1,
             ctc_logits_1=ref_ctc[i: i + 1])
         assert ours[i][0] == ref_text, (i, ours[i][0], ref_text)
         assert abs(ours[i][1] - ref_conf) < 5e-2
+        # Default (rescored) accurate mode returns one of the two candidates.
+        assert rescored[i][0] in (ref_text, ctc_texts[i]), (
+            i, rescored[i][0], ref_text, ctc_texts[i])
 
 
 @flagship_missing

@@ -203,6 +203,7 @@ def test_round_budget_fallback(setup):
     widths = np.asarray([160, 96, 160, 64, 160], np.int32)
     eng_budget = RecognizerEngine(
         variables, CFG_TINY.replace(SPEC_MAX_ROUNDS=1,
+                                    ACCURATE_CTC_RESCORE=False,
                                     WIDTH_BUCKETS=(96, 160)), tok)
     eng_off = RecognizerEngine(
         variables, CFG_TINY.replace(SPEC_DECODE=False,
@@ -223,11 +224,14 @@ def test_round_budget_fallback(setup):
 
 
 def test_engine_decoder_method_uses_spec(setup):
-    """Engine "decoder" results are identical with SPEC_DECODE on and off."""
+    """Engine "decoder" results are identical with SPEC_DECODE on and off
+    (CTC rescore pinned off: it may legitimately swap in the CTC candidate —
+    covered by the rescore tests below)."""
     variables, tok = setup
     imgs = np.random.default_rng(5).integers(
         0, 255, (5, 48, 160), dtype=np.uint8)
-    eng_on = RecognizerEngine(variables, CFG_TINY, tok)
+    eng_on = RecognizerEngine(
+        variables, CFG_TINY.replace(ACCURATE_CTC_RESCORE=False), tok)
     eng_off = RecognizerEngine(variables,
                                CFG_TINY.replace(SPEC_DECODE=False), tok)
     on = eng_on.recognize_batch(imgs, "decoder")
@@ -241,3 +245,95 @@ def test_engine_decoder_method_uses_spec(setup):
     for a, b in zip(s_on, s_off):
         assert [r["token"] for r in a] == [r["token"] for r in b]
         assert [r["text"] for r in a] == [r["text"] for r in b]
+
+
+# ---------------------------------------------------------------------------
+# Accurate-mode CTC-fused rescore (cfg.ACCURATE_CTC_RESCORE, VERDICT r3 #5)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_rescore_output_is_one_of_the_candidates(setup, seed):
+    """With ctc_logits given, every row's output is either the plain spec
+    (= sequential beam-K1) transcript or the collapsed CTC transcript —
+    never a third sequence — and rows where the two agree are unchanged."""
+    variables, tok = setup
+    eng, memp, ctc, ids, conf, est = _encode(variables, tok, seed)
+    n = memp.shape[0]
+    tl = jnp.asarray(np.maximum(np.asarray(est), 0), jnp.int32)
+    kw = dict(cfg=CFG_TINY, l_cap=32, eos_id=tok.dec_eos,
+              unk_dec_id=tok.unk_id + tok.dec_offset,
+              dec_offset=tok.dec_offset, bos_id=tok.dec_bos)
+    plain = D.spec_decode(variables, memp, ids, tl, conf, **kw)
+    resc = D.spec_decode(variables, memp, ids, tl, conf, ctc_logits=ctc, **kw)
+    plain_texts = _texts(tok, plain, n)
+    resc_texts = _texts(tok, resc, n)
+    ctc_texts = tok.decode_ctc_batch(np.asarray(ids)[:n])
+    for i in range(n):
+        assert resc_texts[i] in (plain_texts[i], ctc_texts[i]), (
+            i, resc_texts[i], plain_texts[i], ctc_texts[i])
+        if plain_texts[i] == ctc_texts[i]:
+            assert resc_texts[i] == plain_texts[i]
+    # Confidence stays a valid probability on swapped rows too.
+    fc = np.asarray(resc.final_conf)[:n]
+    assert np.all((fc >= 0.0) & (fc <= 1.0))
+
+
+def test_rescore_prefers_ctc_when_alignment_dominates(setup):
+    """Force a maximal split: CTC frames that spell a clean transcript vs an
+    AR head that (at random init) proposes something else. The fused score
+    must pick the CTC candidate — its alignment term is ~0 logp while the
+    divergent AR transcript's alignment is strongly negative."""
+    variables, tok = setup
+    eng, memp, ctc, ids, conf, est = _encode(variables, tok, 3)
+    n, t_frames = np.asarray(ids).shape
+    c = int(np.asarray(ctc).shape[-1])
+    # Synthesize frames: "ab" with blanks between (ctc ids of 'a','b').
+    a_id, b_id = tok.encode_ctc("ab")[:2]
+    frames = np.full((n, t_frames), 0, np.int32)
+    frames[:, 2] = a_id
+    frames[:, 5] = b_id
+    hot = np.full((n, t_frames, c), -20.0, np.float32)
+    hot[np.arange(n)[:, None], np.arange(t_frames)[None, :], frames] = 20.0
+    ctc_hot = jnp.asarray(hot)
+    tl = jnp.full((n,), 2, jnp.int32)
+    kw = dict(cfg=CFG_TINY, l_cap=32, eos_id=tok.dec_eos,
+              unk_dec_id=tok.unk_id + tok.dec_offset,
+              dec_offset=tok.dec_offset, bos_id=tok.dec_bos)
+    out = D.spec_decode(variables, memp, jnp.asarray(frames), tl, conf,
+                        ctc_logits=ctc_hot, **kw)
+    texts = _texts(tok, out, n)
+    plain = D.spec_decode(variables, memp, jnp.asarray(frames), tl, conf, **kw)
+    plain_texts = _texts(tok, plain, n)
+    for i in range(n):
+        if plain_texts[i] != "ab":  # AR diverged from the draft
+            assert texts[i] == "ab", (i, texts[i], plain_texts[i])
+
+
+def test_engine_rescore_flag_off_matches_plain(setup):
+    """ACCURATE_CTC_RESCORE=False engine output == SPEC_DECODE=False engine
+    output (the pre-rescore accurate mode, bit-for-bit)."""
+    variables, tok = setup
+    imgs = np.random.default_rng(11).integers(
+        0, 255, (4, 48, 160), dtype=np.uint8)
+    a = RecognizerEngine(
+        variables, CFG_TINY.replace(ACCURATE_CTC_RESCORE=False),
+        tok).recognize_batch(imgs, "decoder")
+    b = RecognizerEngine(
+        variables, CFG_TINY.replace(SPEC_DECODE=False),
+        tok).recognize_batch(imgs, "decoder")
+    assert [t for t, _ in a] == [t for t, _ in b]
+
+
+def test_engine_rescore_default_candidate_membership(setup):
+    """Default engine accurate mode returns, per line, one of the two
+    candidate transcripts (AR or CTC)."""
+    variables, tok = setup
+    imgs = np.random.default_rng(12).integers(
+        0, 255, (4, 48, 160), dtype=np.uint8)
+    eng = RecognizerEngine(variables, CFG_TINY, tok)
+    got = [t for t, _ in eng.recognize_batch(imgs, "decoder")]
+    ar = [t for t, _ in RecognizerEngine(
+        variables, CFG_TINY.replace(ACCURATE_CTC_RESCORE=False),
+        tok).recognize_batch(imgs, "decoder")]
+    ctc = [t for t, _ in eng.recognize_batch(imgs, "ctc")]
+    for i, t in enumerate(got):
+        assert t in (ar[i], ctc[i]), (i, t, ar[i], ctc[i])
