@@ -25,6 +25,8 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from kiri_tpu.utils.khmer import cluster_cer  # noqa: E402
+
 
 def levenshtein(a: str, b: str) -> int:
     """Edit distance (reference benchmark/run_benchmark.py:15-32)."""
@@ -153,12 +155,17 @@ def main() -> None:
         dt = time.perf_counter() - t0
 
         cers = [cer(t, o[0]) for t, o in zip(texts, outs)]
+        ccers = [cluster_cer(t, o[0]) for t, o in zip(texts, outs)]
         exact = [unicodedata.normalize("NFC", t)
                  == unicodedata.normalize("NFC", o[0])
                  for t, o in zip(texts, outs)]
         per_font[name] = {
             "script": script,
             "cer": float(np.mean(cers)),
+            # Grapheme-cluster CER: edit distance over Khmer orthographic
+            # clusters (kiri_tpu/utils/khmer.py) — the script-faithful
+            # metric; equals codepoint CER on pure-Latin fonts.
+            "cluster_cer": float(np.mean(ccers)),
             "accuracy": float(np.mean([1 - c for c in cers])),
             "line_accuracy": float(np.mean(exact)),
             "lines_per_sec": len(batch) / dt,
@@ -174,8 +181,8 @@ def main() -> None:
         return
 
     avg = {k: float(np.mean([v[k] for v in per_font.values()]))
-           for k in ("cer", "accuracy", "line_accuracy", "lines_per_sec",
-                     "ms_per_line")}
+           for k in ("cer", "cluster_cer", "accuracy", "line_accuracy",
+                     "lines_per_sec", "ms_per_line")}
 
     # Batch-1 p50 latency (interactive path): single narrow line, repeated
     # dispatches after warmup.

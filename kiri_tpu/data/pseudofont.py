@@ -41,6 +41,21 @@ _ABOVE_MARKS = ({0x17B7, 0x17B8, 0x17B9, 0x17BA, 0x17C6} |
                 set(range(0x17C9, 0x17D2)) | {0x17D3, 0x17DD})
 _BELOW_MARKS = {0x17BB, 0x17BC, 0x17BD, 0x17D2}  # incl. coeng as below mark
 _TWO_PART = set(range(0x17BE, 0x17C6))           # e/ae/ai/o/au etc. -> right
+_COENG = 0x17D2
+# Real Khmer shaping behaviors (VERDICT r3 #6): the vowels E/AE/AI render
+# entirely BEFORE their base consonant (visual reordering), and the other
+# two-part vowels render a shared e-like left part before the base plus a
+# second part above or after it (matching how real fonts decompose them).
+_PREBASE_FULL = {0x17C1, 0x17C2, 0x17C3}         # e, ae, ai
+_PREBASE_SPLIT = {0x17BE: "above",               # oe  = e + above part
+                  0x17BF: "right",               # ya  = e + right part
+                  0x17C0: "right",               # ie  = e + right part
+                  0x17C4: "right",               # o   = e + right part
+                  0x17C5: "right"}               # au  = e + right part
+# Marks that extend a cluster during layout scanning (dependent vowels,
+# signs, the invisible combiners) — everything between a base and the next
+# base/space except COENG, which is handled explicitly.
+_CLUSTER_EXTEND = set(range(0x17B4, 0x17D2)) | {0x17D3, 0x17DD}
 
 
 def _khmer_class(cp: int) -> str:
@@ -77,20 +92,35 @@ class PseudoGlyphFont:
 
     # ------------------------------------------------------------- metrics
     def _advances(self, text: str) -> List[int]:
-        """Per-codepoint advance widths."""
+        """Per-codepoint advance widths (shaping-aware: a consonant after
+        COENG is a zero-advance subscript; pre-base/two-part vowels carry
+        the advance of their visible parts)."""
         out = []
+        prev_coeng = False
         for ch in text:
             cp = ord(ch)
             if ch == " " or ch == " ":
                 out.append(self._adv_space)
+                prev_coeng = False
+                continue
+            if cp == _COENG:
+                out.append(0)
+                prev_coeng = True
                 continue
             cls = _khmer_class(cp)
             if cls == "base":
-                out.append(self._adv_base)
+                out.append(0 if prev_coeng else self._adv_base)
+            elif cp in _PREBASE_FULL:
+                out.append(self._adv_right)
+            elif cp in _PREBASE_SPLIT:
+                out.append(self._adv_right * 2
+                           if _PREBASE_SPLIT[cp] == "right"
+                           else self._adv_right)
             elif cls == "right":
                 out.append(self._adv_right)
             else:  # above/below/skip: zero-advance combining
                 out.append(0)
+            prev_coeng = False
         return out
 
     def getlength(self, text: str, *args, **kwargs) -> int:
@@ -219,31 +249,148 @@ class PseudoGlyphFont:
             d.ellipse([x1 - 2 * r, y1 - 2 * r, x1, y1], fill=255)
         return np.asarray(img, dtype=np.uint8)
 
+    def _subscript_glyph(self, cp: int) -> np.ndarray:
+        """Coeng form of a consonant: its base glyph scaled into the
+        below-base slot (real Khmer renders COENG + consonant as a smaller
+        subscript hanging under the base, not as a second full letter)."""
+        key = (cp, "sub")
+        got = self._glyphs.get(key)
+        if got is not None:
+            return got
+        g = self._glyph(cp, "base")
+        h = max(3, self._height - self._below_y - 1)
+        w = max(3, round(g.shape[1] * 0.55))
+        img = Image.fromarray(g).resize((w, h), Image.BILINEAR)
+        arr = ((np.asarray(img, np.float32) > 48) * 255).astype(np.uint8)
+        self._glyphs[key] = arr
+        return arr
+
+    def _layout_cluster(self, cluster: str, pen: int):
+        """Place one orthographic cluster starting at x=``pen``.
+
+        Order of operations mirrors real shaping: pre-base vowel parts
+        first (E/AE/AI fully pre-base; other two-part vowels contribute a
+        shared e-like left part), then the base, subscript (coeng)
+        consonants below, above/below marks, and post-base parts.
+        Returns (new_pen, placements, (base_x, base_adv)).
+        """
+        base_cp = ord(cluster[0])
+        subs: List[int] = []
+        above: List[int] = []
+        below: List[int] = []
+        right: List[int] = []
+        prebase: List[int] = []
+        k = 1
+        while k < len(cluster):
+            cp = ord(cluster[k])
+            if cp == _COENG:
+                if (k + 1 < len(cluster)
+                        and _khmer_class(ord(cluster[k + 1])) == "base"):
+                    subs.append(ord(cluster[k + 1]))
+                    k += 2
+                    continue
+                below.append(cp)  # dangling coeng: legacy mark form
+            elif cp in _PREBASE_FULL:
+                prebase.append(cp)
+            elif cp in _PREBASE_SPLIT:
+                prebase.append(0x17C1)  # shared e-like left part
+                if _PREBASE_SPLIT[cp] == "above":
+                    above.append(cp)
+                else:
+                    right.append(cp)
+            else:
+                cls = _khmer_class(cp)
+                if cls == "above":
+                    above.append(cp)
+                elif cls == "below":
+                    below.append(cp)
+                elif cls == "right":
+                    right.append(cp)
+                # skip-class: invisible
+            k += 1
+        placements: List[Tuple[np.ndarray, int, int]] = []
+        for cp in prebase:
+            g = self._glyph(cp, "right")
+            placements.append((g, pen + 1, self._body_y))
+            pen += self._adv_right
+        bx = pen
+        g = self._glyph(base_cp, "base")
+        placements.append(
+            (g, pen + max(0, (self._adv_base - g.shape[1]) // 2),
+             self._body_y))
+        pen += self._adv_base
+        n_below = 0
+        for cp in subs:
+            g = self._subscript_glyph(cp)
+            x = (bx + max(0, (self._adv_base - g.shape[1]) // 2)
+                 + n_below * (g.shape[1] // 2))
+            placements.append((g, x, self._below_y))
+            n_below += 1
+        for cp in below:
+            g = self._glyph(cp, "below")
+            x = (bx + max(0, (self._adv_base - g.shape[1]) // 2)
+                 + n_below * (g.shape[1] // 3))
+            placements.append((g, x, self._below_y))
+            n_below += 1
+        n_above = 0
+        for cp in above:
+            g = self._glyph(cp, "above")
+            x = (bx + max(0, (self._adv_base - g.shape[1]) // 2)
+                 + n_above * (g.shape[1] // 3))
+            placements.append((g, x, self._above_y))
+            n_above += 1
+        for cp in right:
+            g = self._glyph(cp, "right")
+            placements.append((g, pen + 1, self._body_y))
+            pen += self._adv_right
+        return pen, placements, (bx, self._adv_base)
+
     # ------------------------------------------------------------ rendering
     def render(self, text: str) -> np.ndarray:
-        """Render to a white-on-black uint8 [H, W] mask with cluster layout."""
+        """Render to a white-on-black uint8 [H, W] mask with cluster layout
+        (coeng subscripts below the base, pre-base vowels reordered to the
+        left of it — the two real-font shaping behaviors the recognizer
+        must learn; VERDICT r3 #6)."""
         placements: List[Tuple[np.ndarray, int, int]] = []
         pen = 0
         last_base = (0, self._adv_base)  # (x, w) of last base glyph
         n_above = n_below = 0
-        for ch in text:
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
             cp = ord(ch)
             if ch in (" ", " "):
                 pen += self._adv_space
                 last_base = (pen, self._adv_base)
                 n_above = n_below = 0
+                i += 1
                 continue
             cls = _khmer_class(cp)
             if cls == "skip":
+                i += 1
                 continue
+            if cls == "base":
+                # Scan the full orthographic cluster and lay it out.
+                j = i + 1
+                while j < n:
+                    cpj = ord(text[j])
+                    if (cpj == _COENG and j + 1 < n
+                            and _khmer_class(ord(text[j + 1])) == "base"):
+                        j += 2
+                    elif cpj == _COENG or cpj in _CLUSTER_EXTEND:
+                        j += 1
+                    else:
+                        break
+                pen, pls, last_base = self._layout_cluster(text[i:j], pen)
+                placements.extend(pls)
+                n_above = n_below = 0
+                i = j
+                continue
+            # Stray combining mark with no preceding base in this run
+            # (malformed text): legacy placement against the last base slot.
             g = self._glyph(cp, cls)
             gh, gw = g.shape
-            if cls == "base":
-                x, y = pen + max(0, (self._adv_base - gw) // 2), self._body_y
-                last_base = (pen, self._adv_base)
-                n_above = n_below = 0
-                pen += self._adv_base
-            elif cls == "right":
+            if cls == "right":
                 x, y = pen + 1, self._body_y
                 pen += self._adv_right
             elif cls == "above":
@@ -257,6 +404,7 @@ class PseudoGlyphFont:
                 y = self._below_y
                 n_below += 1
             placements.append((g, x, y))
+            i += 1
         # Canvas covers the full advance width plus any overhanging mark
         # (an isolated combining mark has zero advance but visible ink).
         width = max(1, self.getlength(text),

@@ -74,6 +74,7 @@ def main() -> None:
     from kiri_tpu.data.synth import MultilingualDatasetGenerator
     from kiri_tpu.ops.preprocess import content_width, resize_keep_ratio_pad_np
     from kiri_tpu.pipeline import OCR
+    from kiri_tpu.utils.khmer import cluster_cer
 
     ocr = OCR(args.model)
     cfg = ocr.cfg
@@ -152,10 +153,12 @@ def main() -> None:
                 continue
             cers = [lev(texts[i], unicodedata.normalize("NFC", outs[i][0]))
                     / max(1, len(texts[i])) for i in idx]
+            ccers = [cluster_cer(texts[i], outs[i][0]) for i in idx]
             exact = [unicodedata.normalize("NFC", outs[i][0]) == texts[i]
                      for i in idx]
             per[grp] = {"n": len(idx),
                         "cer": round(float(np.mean(cers)), 4),
+                        "cluster_cer": round(float(np.mean(ccers)), 4),
                         "exact": round(float(np.mean(exact)), 4)}
         report[method] = per
         print(method, json.dumps(per))
