@@ -110,8 +110,21 @@ class DBDetector:
         from ...utils.cache import enable_persistent_cache
 
         enable_persistent_cache()
+        # .onnx routing: the reference's default detector is a pretrained
+        # PP-OCR ONNX file run by onnxruntime (kiri_ocr/detector/db/
+        # model.py:113-116). Here the graph is imported into JAX
+        # (utils/onnx_import.py) and jit-compiled for TPU; post-processing
+        # below is shared with the first-party net.
+        self._onnx = None
         if variables is not None:
             self.variables = variables
+        elif model_path and str(model_path).endswith(".onnx"):
+            if not Path(model_path).exists():
+                raise FileNotFoundError(f"DB model not found at {model_path}")
+            from ...utils.onnx_import import import_onnx
+
+            self._onnx = import_onnx(model_path)
+            self.variables = self._onnx.params
         elif model_path and Path(model_path).exists():
             self.variables = load_db_checkpoint(model_path)
         else:
@@ -133,6 +146,38 @@ class DBDetector:
             *lead, h, w = prob.shape
             return prob.reshape(*lead, h // ds, ds, w // ds, ds).mean(
                 axis=(-3, -1))
+
+        if self._onnx is not None:
+            # PP-OCR graphs take ImageNet-normalized NCHW RGB; the pipeline
+            # is grayscale by this point, so the gray canvas is replicated
+            # across channels (mean/std from db/model.py:125-126).
+            _mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+            _std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+            def _onnx_prob(params, canvas_u8):
+                """uint8 [..., H, W] -> prob [..., H, W] via the ONNX graph."""
+                x = canvas_u8.astype(jnp.float32) / 255.0
+                lead = x.shape[:-2]
+                x = x.reshape((-1, 1) + x.shape[-2:])          # [B,1,H,W]
+                # broadcasting [B,1,H,W] against [1,3,1,1] replicates the
+                # gray channel to RGB while applying per-channel norm
+                x = (x - _mean[None, :, None, None]) / _std[None, :, None, None]
+                out = self._onnx.apply(params, x)
+                if isinstance(out, tuple):
+                    out = out[0]
+                return out.reshape(lead + out.shape[-2:])
+
+            def _fwd_u8(variables, canvas_u8):
+                prob = _onnx_prob(variables, canvas_u8[None])
+                return jnp.round(_pool(prob[0]) * 65535.0).astype(jnp.uint16)
+
+            def _fwd_u8_batch(variables, canvas_u8):
+                prob = _onnx_prob(variables, canvas_u8)
+                return jnp.round(_pool(prob) * 65535.0).astype(jnp.uint16)
+
+            self._fwd = jax.jit(_fwd_u8)
+            self._fwd_batch = jax.jit(_fwd_u8_batch)
+            return
 
         def _fwd_u8(variables, canvas_u8):
             x = (canvas_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
