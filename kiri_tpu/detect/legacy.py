@@ -200,10 +200,23 @@ class ImageProcessingTextDetector:
     def _binarize(self, gray: np.ndarray,
                   color: Optional[np.ndarray] = None) -> np.ndarray:
         """Pick the best text-mask among the candidate sweep by text-likeness
-        scoring (reference legacy/detector.py:496-569)."""
+        scoring (reference legacy/detector.py:496-569), then union in at most
+        one *complementary* mask.
+
+        The reference unions all ~25 binarizations; scoring-and-keeping-one
+        bounds cost but under-recalls pages where text lives in two
+        polarities/channels at once (dark body text + light text on a dark
+        band). The complementary pass recovers exactly that case: a second
+        mask is OR-ed in only when its own score is substantial (>= 30% of
+        best) AND its foreground barely overlaps the winner's (< 25%), i.e.
+        it found a *different* text population. On single-polarity pages the
+        runner-up masks are near-duplicates of the winner (high overlap), so
+        the union never fires and the output is unchanged.
+        """
         cands = self._binary_candidates(gray, color)
-        best, best_score = cands[0][1], -1.0
         img_area = gray.shape[0] * gray.shape[1]
+        scored: List[Tuple[float, str, np.ndarray]] = []
+        best, best_score = cands[0][1], -1.0
         for name, b in cands:
             n, _, stats, _ = cv2.connectedComponentsWithStats(b, connectivity=8)
             if n <= 1:
@@ -219,9 +232,56 @@ class ImageProcessingTextDetector:
                 h_consistency = float((np.abs(hs - h_med) < h_med).mean()) if len(hs) else 0
                 score = good * (0.5 + 0.5 * h_consistency)
             self._debug[f"bin_{name}"] = b
+            if score > 0:
+                scored.append((score, name, b))
             if score > best_score:
                 best, best_score = b, score
+        if best_score > 0:
+            comp = self._complementary_mask(best, best_score, scored)
+            if comp is not None:
+                self._debug["bin_union_second"] = comp
+                best = cv2.bitwise_or(best, comp)
         return best
+
+    def _complementary_mask(self, best: np.ndarray, best_score: float,
+                            scored: List[Tuple[float, str, np.ndarray]]
+                            ) -> Optional[np.ndarray]:
+        """Highest-scoring mask whose foreground is mostly disjoint from the
+        winner's (a different text polarity/channel), reduced to its
+        text-sized components, or None.
+
+        The component filter matters: a mask that binarizes a solid color
+        band as foreground is "disjoint" from the winner too, and OR-ing it
+        raw would weld the band's real text into one giant blob. Keeping
+        only components in the text size range unions the recovered glyphs
+        and drops background fills.
+        """
+        best_fg = best > 0
+        img_area = best.shape[0] * best.shape[1]
+        pick, pick_score = None, 0.3 * best_score
+        for score, _name, b in scored:
+            if score <= pick_score or b is best:
+                continue
+            fg = b > 0
+            own = int(fg.sum())
+            if own == 0:
+                continue
+            overlap = int((fg & best_fg).sum()) / own
+            if overlap < 0.25:
+                pick, pick_score = b, score
+        if pick is None:
+            return None
+        n, labels, stats, _ = cv2.connectedComponentsWithStats(
+            pick, connectivity=8)
+        if n <= 1:
+            return None
+        areas = stats[1:, cv2.CC_STAT_AREA]
+        keep = np.flatnonzero((areas > self.min_area)
+                              & (areas < img_area * 0.05)) + 1
+        if keep.size == 0:
+            return None
+        out = np.isin(labels, keep).astype(np.uint8) * 255
+        return out
 
     def _mser_components(self, gray: np.ndarray) -> np.ndarray:
         """MSER candidate boxes with solidity filtering, both polarities

@@ -105,3 +105,47 @@ def test_candidate_sweep_breadth():
     for expected in ("otsu", "sauvola", "niblack", "hsv_v_otsu", "lab_l_otsu",
                      "morph_gradient", "red_otsu"):
         assert expected in names
+
+
+def test_multi_polarity_doc(det):
+    """Dark body text AND light text on a dark band on the same page: the
+    single-best-mask selection catches one population; the complementary
+    union (legacy.py _complementary_mask) must recover both."""
+    img = Image.new("L", (480, 360), 255)
+    draw = ImageDraw.Draw(img)
+    try:
+        font = ImageFont.truetype(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 26)
+    except Exception:
+        font = ImageFont.load_default()
+    ys = []
+    for i in range(3):  # dark-on-white body text
+        y = 30 + i * 60
+        draw.text((30, y), f"Dark body text line {i} here", fill=0, font=font)
+        ys.append(y)
+    draw.rectangle([0, 230, 480, 360], fill=25)  # dark band
+    for i in range(2):  # light-on-dark band text
+        y = 250 + i * 55
+        draw.text((30, y), f"Light banner line {i} words", fill=245,
+                  font=font)
+        ys.append(y)
+    arr = np.asarray(img)
+    assert _recall(det.detect_lines(arr), ys) >= 0.8
+    # The union must fire on this page and contribute glyph-sized
+    # components only — never the solid band (which a raw OR of a
+    # band-foreground mask would weld into one giant blob).
+    det._debug = {}
+    det._binarize(arr)
+    sec = det._debug.get("bin_union_second")
+    assert sec is not None
+    assert (sec[240:340, 20:300] > 0).mean() < 0.10
+
+
+def test_complementary_union_inactive_on_single_polarity(det):
+    """On a plain dark-on-white page the runner-up masks overlap the winner,
+    so the union must not fire (output identical to best-mask-only)."""
+    img, _ = _doc(fg=0, bg=255)
+    det._debug = {}
+    det._binarize(np.asarray(Image.fromarray(img).convert("L"))
+                  if img.ndim == 3 else img)
+    assert "bin_union_second" not in det._debug
