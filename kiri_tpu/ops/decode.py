@@ -325,7 +325,8 @@ def _stream_best(cfg, tokens, scores, lengths, finished):
 @partial(jax.jit, static_argnames=("cfg", "k_beam", "l_cap", "record_history",
                                    "eos_id", "unk_dec_id", "dec_offset", "bos_id",
                                    "opt_shared_kv", "opt_fused_head",
-                                   "opt_identity_skip", "opt_fused_qkv"))
+                                   "opt_identity_skip", "opt_fused_qkv",
+                                   "opt_unroll"))
 def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 ctc_logits: Optional[jnp.ndarray], target_len: jnp.ndarray,
                 ctc_conf: jnp.ndarray, *, cfg, k_beam: int, l_cap: int,
@@ -333,7 +334,7 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 unk_dec_id: int = 3, dec_offset: int = 3, bos_id: int = 1,
                 opt_shared_kv: bool = True, opt_fused_head: bool = True,
                 opt_identity_skip: bool = True,
-                opt_fused_qkv: bool = True) -> DecodeOut:
+                opt_fused_qkv: bool = True, opt_unroll: int = 1) -> DecodeOut:
     """Batched beam search over N lines with K beams each.
 
     mem_proj:   [N, T, Ddec] projected encoder memory
@@ -345,6 +346,11 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 winners (scripts/profile_beam.py on the v5e, 128 lines,
                 l_cap 64: baseline 1005 l/s; +shared_kv 1064; +identity
                 skip 1197; all three 1297 l/s)
+    opt_unroll: static count of beam steps per while_loop iteration.
+                Bit-identical to 1 (the per-line freeze in _beam_step makes
+                overshoot sub-steps no-ops, tests/test_beam_unroll.py); >1
+                amortizes per-iteration loop overhead at the cost of up to
+                unroll-1 wasted tail sub-steps.
     """
     n, t_mem, _ = mem_proj.shape
     K = k_beam
@@ -390,27 +396,30 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
 
     def body(state):
         t, tokens, scores, lengths, finished, cache, hist, steps_done = state
-        (tokens, scores, lengths, finished, cache, steps_done,
-         line_active) = _beam_step(
-            variables, cross_kvs, step_beams, fused_head, fused_qkv,
-            target_len, max_steps, t, tokens, scores, lengths, finished,
-            cache, steps_done, cfg=cfg, eos_id=eos_id, unk_dec_id=unk_dec_id,
-            opt_identity_skip=opt_identity_skip)
+        for j in range(opt_unroll):
+            tj = t + j
+            (tokens, scores, lengths, finished, cache, steps_done,
+             line_active) = _beam_step(
+                variables, cross_kvs, step_beams, fused_head, fused_qkv,
+                target_len, max_steps, tj, tokens, scores, lengths, finished,
+                cache, steps_done, cfg=cfg, eos_id=eos_id,
+                unk_dec_id=unk_dec_id, opt_identity_skip=opt_identity_skip)
 
-        if record_history:
-            bt, bl, bs, bf = _stream_best(cfg, tokens, scores, lengths,
-                                          finished)
-            w = jnp.minimum(t, hist["tokens"].shape[1] - 1)
-            hist = {
-                "tokens": hist["tokens"].at[:, w].set(
-                    jnp.where(line_active[:, None], bt, hist["tokens"][:, w])),
-                "len": hist["len"].at[:, w].set(jnp.where(line_active, bl, hist["len"][:, w])),
-                "score": hist["score"].at[:, w].set(jnp.where(line_active, bs, hist["score"][:, w])),
-                "fin": hist["fin"].at[:, w].set(jnp.where(line_active, bf, hist["fin"][:, w])),
-                "extra": hist["extra"],
-            }
+            if record_history:
+                bt, bl, bs, bf = _stream_best(cfg, tokens, scores, lengths,
+                                              finished)
+                w = jnp.minimum(tj, hist["tokens"].shape[1] - 1)
+                hist = {
+                    "tokens": hist["tokens"].at[:, w].set(
+                        jnp.where(line_active[:, None], bt, hist["tokens"][:, w])),
+                    "len": hist["len"].at[:, w].set(jnp.where(line_active, bl, hist["len"][:, w])),
+                    "score": hist["score"].at[:, w].set(jnp.where(line_active, bs, hist["score"][:, w])),
+                    "fin": hist["fin"].at[:, w].set(jnp.where(line_active, bf, hist["fin"][:, w])),
+                    "extra": hist["extra"],
+                }
 
-        return (t + 1, tokens, scores, lengths, finished, cache, hist, steps_done)
+        return (t + opt_unroll, tokens, scores, lengths, finished, cache,
+                hist, steps_done)
 
     steps_done0 = jnp.zeros((n,), jnp.int32)
     state = (jnp.asarray(0, jnp.int32), tokens0, scores0, lengths0, finished0,

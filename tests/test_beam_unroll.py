@@ -1,0 +1,65 @@
+"""opt_unroll parity: beam_search with unrolled while_loop steps must be
+bit-identical to the single-step loop (the per-line freeze in _beam_step
+makes overshoot sub-steps no-ops)."""
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from kiri_tpu.config import CFG
+from kiri_tpu.engine import RecognizerEngine
+from kiri_tpu.models import recognizer as R
+from kiri_tpu.ops import decode as D
+from kiri_tpu.tokenizer import CharTokenizer
+
+CFG_TINY = CFG(ENC_DIM=32, ENC_LAYERS=1, ENC_FF=64, ENC_HEADS=4,
+               DEC_DIM=32, DEC_LAYERS=1, DEC_FF=64, DEC_HEADS=4,
+               IMG_H=48, IMG_W=160, COMPUTE_DTYPE="float32",
+               BATCH_BUCKETS=(1, 2, 4, 8), STEP_BUCKETS=(16, 32, 64))
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("unroll")
+    vocab = {"<unk>": 0}
+    for i, ch in enumerate("abcde "):
+        vocab[ch] = i + 1
+    vp = tmp / "vocab.json"
+    vp.write_text(json.dumps(vocab))
+    tok = CharTokenizer(str(vp), CFG_TINY)
+    variables = R.init_recognizer(jax.random.PRNGKey(0), CFG_TINY, tok)
+    engine = RecognizerEngine(variables, CFG_TINY, tok)
+    imgs = np.random.default_rng(1).integers(0, 255, (4, 48, 160), np.uint8)
+    memp, ctc, ids, conf, est, n = engine.encode_batch(imgs)
+    kw = dict(cfg=CFG_TINY, k_beam=3, l_cap=16, eos_id=tok.dec_eos,
+              unk_dec_id=tok.unk_id + tok.dec_offset,
+              dec_offset=tok.dec_offset, bos_id=tok.dec_bos)
+    args = (engine.variables, memp, ctc, est.astype(np.int32), conf)
+    return args, kw
+
+
+@pytest.mark.parametrize("unroll", [2, 3, 4])
+def test_unroll_bit_identical(setup, unroll):
+    args, kw = setup
+    base = D.beam_search(*args, **kw, opt_unroll=1)
+    got = D.beam_search(*args, **kw, opt_unroll=unroll)
+    np.testing.assert_array_equal(np.asarray(base.tokens),
+                                  np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(base.lengths),
+                                  np.asarray(got.lengths))
+    np.testing.assert_allclose(np.asarray(base.final_conf), np.asarray(got.final_conf),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(base.hist_steps), np.asarray(got.hist_steps))
+
+
+def test_unroll_history_identical(setup):
+    args, kw = setup
+    base = D.beam_search(*args, **kw, record_history=True, opt_unroll=1)
+    got = D.beam_search(*args, **kw, record_history=True, opt_unroll=4)
+    np.testing.assert_array_equal(np.asarray(base.hist_tokens),
+                                  np.asarray(got.hist_tokens))
+    np.testing.assert_array_equal(np.asarray(base.hist_len),
+                                  np.asarray(got.hist_len))
+    np.testing.assert_array_equal(np.asarray(base.hist_finished),
+                                  np.asarray(got.hist_finished))
