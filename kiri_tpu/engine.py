@@ -495,6 +495,61 @@ class RecognizerEngine:
             unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
             dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
 
+    def beam_device_bucketed(self, memp, ctc, est_np: np.ndarray, conf,
+                             chunk: Optional[int] = None
+                             ) -> List[Tuple[np.ndarray, D.DecodeOut]]:
+        """Device-resident beam over per-row step-bucketed sub-batches.
+
+        Rows in ``beam_search`` never interact, so splitting a batch by each
+        row's step budget into separate (batch-bucket, l_cap) programs is
+        text-identical to one max-l_cap program — but short rows then run a
+        loop with half the iterations AND half the KV-cache bytes per step
+        (cache traffic scales with l_buf). All dispatches are enqueued
+        before returning; the caller fetches.
+
+        est_np: host [N] CTC length estimates (0 = none). Returns
+        [(row_indices, DecodeOut)] covering all rows exactly once.
+        """
+        n = memp.shape[0]
+        tl_np = np.where(est_np[:n] > 0, est_np[:n], 0).astype(np.int32)
+        # Per-row step budget with the same float32 semantics as the device
+        # max_decode_steps (a float64 host product could round differently
+        # right at a bucket boundary and clamp a row one step short).
+        with_tl = np.minimum(
+            self.cfg.MAX_DEC_LEN,
+            (tl_np.astype(np.float32)
+             * np.float32(self.cfg.DEC_MAX_LEN_RATIO)).astype(np.int32)
+            + self.cfg.DEC_MAX_LEN_PAD)
+        without = min(self.cfg.MAX_DEC_LEN,
+                      int(memp.shape[1] * self.cfg.MEM_MAX_LEN_RATIO)
+                      + self.cfg.DEC_MAX_LEN_PAD)
+        ms = np.where(tl_np > 0, with_tl, without)
+        # Sort rows by budget and cut into fixed bucket-sized chunks (not
+        # into per-l_cap groups: a 68-row group would pad up to the 128
+        # batch bucket and burn more than the split saves). Each chunk's
+        # l_cap covers its longest row, so most chunks of a mixed batch run
+        # the short program and the tail chunk runs the long one.
+        order = np.argsort(ms, kind="stable").astype(np.int32)
+        if chunk is None:
+            chunk = max(1, min(64, D.pick_batch_bucket(self.cfg, n)))
+        launched = []
+        for s in range(0, n, chunk):
+            sel = order[s: s + chunk]
+            l_cap = D.pick_l_cap(self.cfg, int(ms[sel].max(initial=1)))
+            b2 = D.pick_batch_bucket(self.cfg, len(sel))
+            sel_pad = np.concatenate([sel, np.zeros(b2 - len(sel), np.int32)])
+            sel_dev = jnp.asarray(sel_pad)
+            dec = D.beam_search(
+                self.variables, jnp.take(memp, sel_dev, axis=0),
+                jnp.take(ctc, sel_dev, axis=0) if ctc is not None else None,
+                jnp.asarray(tl_np[sel_pad]), jnp.take(conf, sel_dev, axis=0),
+                cfg=self.cfg, k_beam=self.cfg.BEAM, l_cap=l_cap,
+                eos_id=self.tok.dec_eos,
+                unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+                dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
+            launched.append((sel, dec))
+        return launched
+
     # ------------------------------------------------------------- streaming
     def stream_records(self, img_u8: np.ndarray, method: str,
                        window: Optional[int] = None

@@ -326,7 +326,7 @@ def _stream_best(cfg, tokens, scores, lengths, finished):
                                    "eos_id", "unk_dec_id", "dec_offset", "bos_id",
                                    "opt_shared_kv", "opt_fused_head",
                                    "opt_identity_skip", "opt_fused_qkv",
-                                   "opt_unroll"))
+                                   "opt_unroll", "opt_cache_segments"))
 def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 ctc_logits: Optional[jnp.ndarray], target_len: jnp.ndarray,
                 ctc_conf: jnp.ndarray, *, cfg, k_beam: int, l_cap: int,
@@ -334,7 +334,8 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 unk_dec_id: int = 3, dec_offset: int = 3, bos_id: int = 1,
                 opt_shared_kv: bool = True, opt_fused_head: bool = True,
                 opt_identity_skip: bool = True,
-                opt_fused_qkv: bool = True, opt_unroll: int = 1) -> DecodeOut:
+                opt_fused_qkv: bool = True, opt_unroll: int = 1,
+                opt_cache_segments: int = 3) -> DecodeOut:
     """Batched beam search over N lines with K beams each.
 
     mem_proj:   [N, T, Ddec] projected encoder memory
@@ -351,6 +352,18 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 overshoot sub-steps no-ops, tests/test_beam_unroll.py); >1
                 amortizes per-iteration loop overhead at the cost of up to
                 unroll-1 wasted tail sub-steps.
+    opt_cache_segments: static number of KV-cache growth segments. The
+                dominant per-step HBM traffic is cache-sized (the self-attn
+                K/V read and the beam parent-permute gather both touch the
+                WHOLE [L, N*K, l_buf, 2, H, hd] buffer), yet step t only
+                ever reads positions <= t. With S>1 the loop runs as S
+                sequential while_loops over doubling cache buffers
+                (l_buf/2^(S-1), ..., l_buf), zero-padding the cache between
+                segments, so early steps touch a fraction of the buffer.
+                Bit-identical to S=1: the causal mask zeroes never-written
+                slots in the f32 softmax either way, and permuting
+                all-zero tail rows yields the same zeros
+                (tests/test_beam_unroll.py::test_cache_segments_parity).
     """
     n, t_mem, _ = mem_proj.shape
     K = k_beam
@@ -373,7 +386,16 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     fused_head = (R.fuse_output_heads(variables["params"])
                   if opt_fused_head else None)
     fused_qkv = R.fuse_self_qkv(variables["params"]) if opt_fused_qkv else None
-    cache = R.init_decode_cache(cfg, n * K, l_buf)
+
+    # Cache growth schedule: doubling windows ending at l_buf (smallest
+    # window >= 16 so tiny segments don't fragment the loop).
+    windows = [l_buf]
+    for _ in range(max(0, opt_cache_segments - 1)):
+        nxt = (windows[0] + 1) // 2
+        if nxt < 16:
+            break
+        windows.insert(0, nxt)
+    cache = R.init_decode_cache(cfg, n * K, windows[0])
 
     tokens0 = jnp.zeros((n, K, l_buf), jnp.int32).at[:, :, 0].set(bos_id)
     scores0 = jnp.full((n, K), NEG_INF).at[:, 0].set(0.0)
@@ -389,10 +411,18 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
         "extra": jnp.zeros(hist_shape[:2] + (2,), jnp.float32),
     }
 
-    def cond(state):
-        t, tokens, scores, lengths, finished, cache, hist, steps_done = state
-        line_active = (t < max_steps) & ~jnp.all(finished, axis=1)
-        return jnp.any(line_active)
+    def make_cond(t_limit):
+        def cond(state):
+            t, tokens, scores, lengths, finished, cache, hist, steps_done = state
+            line_active = (t < max_steps) & ~jnp.all(finished, axis=1)
+            alive = jnp.any(line_active)
+            if t_limit is not None:
+                # With unroll > 1, entering the loop runs sub-steps
+                # t .. t+unroll-1, each writing cache position tj — all must
+                # fit this segment's buffer (tail steps run next segment).
+                alive &= t + opt_unroll <= t_limit
+            return alive
+        return cond
 
     def body(state):
         t, tokens, scores, lengths, finished, cache, hist, steps_done = state
@@ -424,8 +454,18 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     steps_done0 = jnp.zeros((n,), jnp.int32)
     state = (jnp.asarray(0, jnp.int32), tokens0, scores0, lengths0, finished0,
              cache, hist, steps_done0)
-    _, tokens, scores, lengths, finished, cache, hist, steps_done = \
-        jax.lax.while_loop(cond, body, state)
+    for si, w_seg in enumerate(windows):
+        last = si == len(windows) - 1
+        state = jax.lax.while_loop(make_cond(None if last else w_seg),
+                                   body, state)
+        if not last:
+            t, tokens, scores, lengths, finished, cache, hist, steps_done = state
+            cache = jnp.pad(cache, ((0, 0), (0, 0),
+                                    (0, windows[si + 1] - w_seg),
+                                    (0, 0), (0, 0), (0, 0)))
+            state = (t, tokens, scores, lengths, finished, cache, hist,
+                     steps_done)
+    _, tokens, scores, lengths, finished, cache, hist, steps_done = state
 
     # ---------- final scoring with CTC fusion (kiri_ocr/model.py:561-598) ----
     L = jnp.maximum(1, lengths - 1).astype(jnp.float32)

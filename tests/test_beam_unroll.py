@@ -36,12 +36,12 @@ def setup(tmp_path_factory):
               unk_dec_id=tok.unk_id + tok.dec_offset,
               dec_offset=tok.dec_offset, bos_id=tok.dec_bos)
     args = (engine.variables, memp, ctc, est.astype(np.int32), conf)
-    return args, kw
+    return args, kw, engine
 
 
 @pytest.mark.parametrize("unroll", [2, 3, 4])
 def test_unroll_bit_identical(setup, unroll):
-    args, kw = setup
+    args, kw, _engine = setup
     base = D.beam_search(*args, **kw, opt_unroll=1)
     got = D.beam_search(*args, **kw, opt_unroll=unroll)
     np.testing.assert_array_equal(np.asarray(base.tokens),
@@ -53,8 +53,55 @@ def test_unroll_bit_identical(setup, unroll):
     np.testing.assert_array_equal(np.asarray(base.hist_steps), np.asarray(got.hist_steps))
 
 
+@pytest.mark.parametrize("l_cap,unroll", [(32, 1), (64, 1), (64, 3)])
+def test_cache_segments_parity(setup, l_cap, unroll):
+    """Segmented KV-cache growth (opt_cache_segments>1) is bit-identical to
+    the single full-size-buffer loop: the causal mask zeroes never-written
+    slots either way, and permuting all-zero tail rows yields zeros."""
+    args, kw, _engine = setup
+    kw = dict(kw, l_cap=l_cap)
+    base = D.beam_search(*args, **kw, opt_cache_segments=1)
+    got = D.beam_search(*args, **kw, opt_cache_segments=3, opt_unroll=unroll)
+    np.testing.assert_array_equal(np.asarray(base.tokens),
+                                  np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(base.lengths),
+                                  np.asarray(got.lengths))
+    np.testing.assert_allclose(np.asarray(base.final_conf),
+                               np.asarray(got.final_conf), rtol=0, atol=0)
+    h1 = D.beam_search(*args, **kw, record_history=True, opt_cache_segments=1)
+    h3 = D.beam_search(*args, **kw, record_history=True, opt_cache_segments=3)
+    np.testing.assert_array_equal(np.asarray(h1.hist_tokens),
+                                  np.asarray(h3.hist_tokens))
+    np.testing.assert_array_equal(np.asarray(h1.hist_len),
+                                  np.asarray(h3.hist_len))
+
+
+def test_beam_device_bucketed_parity(setup):
+    """Engine step-bucketed beam dispatch returns the same text fields as
+    one max-l_cap program over the whole batch (rows never interact)."""
+    args, kw, engine = setup
+    variables, memp, ctc, tl, conf = args
+    base = D.beam_search(*args, **dict(kw, l_cap=64))
+    launched = engine.beam_device_bucketed(memp, ctc, np.asarray(tl), conf,
+                                           chunk=2)
+    got_tokens = {}
+    got_len = {}
+    for sel, dec in launched:
+        tk = np.asarray(dec.tokens)
+        ln = np.asarray(dec.lengths)
+        for r, i in enumerate(sel):
+            got_tokens[int(i)] = tk[r]
+            got_len[int(i)] = ln[r]
+    bt = np.asarray(base.tokens)
+    bl = np.asarray(base.lengths)
+    for i in range(bt.shape[0]):
+        L = bl[i]
+        assert got_len[i] == L
+        np.testing.assert_array_equal(got_tokens[i][:L], bt[i, :L])
+
+
 def test_unroll_history_identical(setup):
-    args, kw = setup
+    args, kw, _engine = setup
     base = D.beam_search(*args, **kw, record_history=True, opt_unroll=1)
     got = D.beam_search(*args, **kw, record_history=True, opt_unroll=4)
     np.testing.assert_array_equal(np.asarray(base.hist_tokens),
