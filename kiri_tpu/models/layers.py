@@ -231,7 +231,8 @@ def decoder_step_layer(p: Params, x: jnp.ndarray, layer_idx: int,
                        cache: jnp.ndarray, pos: jnp.ndarray,
                        cross_k: jnp.ndarray, cross_v: jnp.ndarray,
                        n_heads: int, beams: int = 1,
-                       fused_qkv: Optional[Params] = None
+                       fused_qkv: Optional[Params] = None,
+                       anc: Optional[jnp.ndarray] = None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One decoder layer for a single new position with KV cache.
 
@@ -245,6 +246,15 @@ def decoder_step_layer(p: Params, x: jnp.ndarray, layer_idx: int,
             (the dominant HBM traffic of the beam loop).
     fused_qkv: optional precomputed [D, 3D] self-attention projection from
             ``fuse_qkv`` (pass from outside the decode loop).
+    anc:    optional ancestry table [N, K, T_anc] (T_anc >= Tmax) for
+            permute-free beam search: the KV cache rows are NEVER reordered
+            by beam parent; instead anc[n, k, t] names the line-local row
+            (0..K-1) whose slot t holds beam k's step-t K/V. Self-attention
+            then computes scores/outputs against ALL K rows of the line
+            (K x the attention FLOPs — negligible at these sizes) and
+            selects per position with a one-hot ancestor mask, turning the
+            per-step whole-cache permute (read+write) into a dense read.
+            K is taken from anc.shape[1] (independent of ``beams``).
     """
     d = x.shape[-1]
     hd = d // n_heads
@@ -268,14 +278,39 @@ def decoder_step_layer(p: Params, x: jnp.ndarray, layer_idx: int,
     vals = cache[layer_idx, :, :, 1]
     t_max = keys.shape[1]
 
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, keys.astype(q.dtype),
-                        preferred_element_type=jnp.float32) / math.sqrt(hd)
-    # Mask positions beyond the current one (cache slots not yet written).
-    key_pos = jnp.arange(t_max)[None, None, None, :]
-    scores = jnp.where(key_pos > pos, -jnp.inf, scores)
-    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    sa = jnp.einsum("bhqk,bkhd->bqhd", attn, vals.astype(q.dtype),
-                    preferred_element_type=jnp.float32).astype(q.dtype)
+    if anc is not None:
+        K = anc.shape[1]        # true beam count (independent of the
+        nl = b // K             # cross-attn sharing switch ``beams``)
+        qk = q.reshape(nl, K, n_heads, hd)
+        kk = keys.reshape(nl, K, t_max, n_heads, hd).astype(q.dtype)
+        vv = vals.reshape(nl, K, t_max, n_heads, hd).astype(q.dtype)
+        # One-hot ancestor mask over the line's K physical rows. Slots
+        # beyond ``pos`` are masked below regardless of their anc value.
+        a = anc[:, :, :t_max]                                # [N, K, T]
+        onehot = (a[:, :, None, :] ==
+                  jnp.arange(K, dtype=a.dtype)[None, None, :, None])
+        s_all = jnp.einsum("nkhd,njthd->nkjht", qk, kk,
+                           preferred_element_type=jnp.float32) / math.sqrt(hd)
+        # Selecting by summing (K-1) exact zeros keeps the true dot product
+        # bit-for-bit (x + 0.0 == x in IEEE754).
+        s = jnp.einsum("nkjht,nkjt->nkht", s_all,
+                       onehot.astype(jnp.float32))
+        key_pos = jnp.arange(t_max)[None, None, None, :]
+        s = jnp.where(key_pos > pos, -jnp.inf, s)
+        attn = jax.nn.softmax(s, axis=-1)                    # [N, K, H, T] f32
+        pm = attn[:, :, None] * onehot[:, :, :, None].astype(jnp.float32)
+        sa = jnp.einsum("nkjht,njthd->nkhd", pm.astype(q.dtype), vv,
+                        preferred_element_type=jnp.float32).astype(q.dtype)
+        sa = sa.reshape(b, 1, n_heads, hd)
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, keys.astype(q.dtype),
+                            preferred_element_type=jnp.float32) / math.sqrt(hd)
+        # Mask positions beyond the current one (cache slots not yet written).
+        key_pos = jnp.arange(t_max)[None, None, None, :]
+        scores = jnp.where(key_pos > pos, -jnp.inf, scores)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        sa = jnp.einsum("bhqk,bkhd->bqhd", attn, vals.astype(q.dtype),
+                        preferred_element_type=jnp.float32).astype(q.dtype)
     x = x + dense(p["self_attn"]["wo"], _merge_heads(sa))
 
     # Cross attention against precomputed memory K/V.

@@ -381,14 +381,16 @@ def fuse_self_qkv(params: Params) -> List[Params]:
 
 def decoder_step(variables: Dict[str, Any], tok_ids: jnp.ndarray, pos,
                  cache, cross_kvs, cfg, beams: int = 1, fused_head=None,
-                 fused_qkv=None):
+                 fused_qkv=None, anc=None):
     """One AR step. tok_ids: [B] int32, pos: scalar int32 position index.
 
     beams: static K; when >1 the cross_kvs entries are per-line (B//K rows)
     and shared across beams (see layers.decoder_step_layer). fused_head: the
     precomputed [D, 2V] head from ``fuse_output_heads``; fused_qkv: the
     per-layer list from ``fuse_self_qkv`` — pass both from outside the
-    decode loop so the concatenations aren't re-traced per step.
+    decode loop so the concatenations aren't re-traced per step. anc: the
+    optional [N, K, T] beam-ancestry table for permute-free beam search
+    (layers.decoder_step_layer docstring).
 
     Returns (dec_logits [B, V] f32, lm_logits [B, V] f32 or None, cache).
     """
@@ -403,7 +405,7 @@ def decoder_step(variables: Dict[str, Any], tok_ids: jnp.ndarray, pos,
         ck, cv = cross_kvs[i]
         x, cache = L.decoder_step_layer(
             lp, x, i, cache, pos, ck, cv, cfg.DEC_HEADS, beams,
-            fused_qkv=None if fused_qkv is None else fused_qkv[i])
+            fused_qkv=None if fused_qkv is None else fused_qkv[i], anc=anc)
     x = L.layer_norm(params["dec_ln"], x)
     use_lm = cfg.USE_LM and "lm_head" in params
     if use_lm and fused_head is not None:

@@ -217,13 +217,18 @@ def _labels_from_tokens(tokens: jnp.ndarray, lengths: jnp.ndarray,
 def _beam_step(variables, cross_kvs, step_beams, fused_head, fused_qkv,
                target_len, max_steps, t, tokens, scores, lengths, finished,
                cache, steps_done, *, cfg, eos_id, unk_dec_id,
-               opt_identity_skip=True):
+               opt_identity_skip=True, anc=None):
     """One beam-search step for all N lines (shared by the one-shot
     ``beam_search`` while_loop and the resumable ``beam_stream_window``).
 
     Returns the updated (tokens, scores, lengths, finished, cache,
-    steps_done, line_active); lines past their step budget or with every
-    beam finished are frozen bit-for-bit.
+    steps_done, line_active, anc); lines past their step budget or with
+    every beam finished are frozen bit-for-bit.
+
+    anc: optional [N, K, l_buf] ancestry table (permute-free beam mode —
+    layers.decoder_step_layer). When given, the KV cache is never
+    reordered; the table rows are permuted by beam parent instead (tiny),
+    replacing the whole-cache gather's read+write HBM traffic with nothing.
     """
     n, K, l_buf = tokens.shape
     line_active = (t < max_steps) & ~jnp.all(finished, axis=1)  # [N]
@@ -231,9 +236,17 @@ def _beam_step(variables, cross_kvs, step_beams, fused_head, fused_qkv,
     cur_tok = jnp.take_along_axis(
         tokens, jnp.broadcast_to(jnp.maximum(lengths - 1, 0)[..., None],
                                  (n, K, 1)), axis=2)[..., 0]
+    if anc is not None:
+        # Stamp slot t with each row's own index before the step: the new
+        # K/V lands in row k, so beam k's step-t ancestor is k (until the
+        # post-step parent permute below rewrites it).
+        anc = jax.lax.dynamic_update_slice(
+            anc, jnp.broadcast_to(jnp.arange(K, dtype=anc.dtype)[None, :, None],
+                                  (n, K, 1)), (0, 0, t))
     dec_logits, lm_logits, cache = R.decoder_step(
         variables, cur_tok.reshape(n * K), t, cache, cross_kvs, cfg,
-        beams=step_beams, fused_head=fused_head, fused_qkv=fused_qkv)
+        beams=step_beams, fused_head=fused_head, fused_qkv=fused_qkv,
+        anc=anc)
     logp = _fused_logp(dec_logits, lm_logits, cfg)         # [N*K, V]
     tl_rep = jnp.repeat(target_len, K)
     logp = apply_penalties(logp, tokens.reshape(n * K, l_buf), t, cfg,
@@ -283,19 +296,28 @@ def _beam_step(variables, cross_kvs, step_beams, fused_head, fused_qkv,
         jnp.where(was_fin, parent_tokens[rowsN, rowsK, jnp.minimum(write_pos, l_buf - 1)],
                   new_tok_ids))
 
-    # Reorder KV cache rows to follow their parents. (Measured note:
-    # gating the gather to only-written length segments via lax.cond
-    # is bit-identical but SLOWER on TPU — the per-segment concatenate
-    # rebuilds the full buffer anyway; the plain whole-buffer gather
-    # wins.) opt_identity_skip wraps the gather in a scalar cond that
-    # skips it when the parent permutation is the identity.
-    flat_parent = (rowsN * K + parent).reshape(-1)
-    if opt_identity_skip:
-        is_identity = jnp.all(flat_parent == jnp.arange(n * K))
-        cache = jax.lax.cond(
-            is_identity, lambda c: c, lambda c: c[:, flat_parent], cache)
+    if anc is not None:
+        # Permute-free mode: the cache rows stay where they were written;
+        # only the ancestry table follows the parents. Row k's new step-t
+        # K/V was computed for pre-reorder beam k (cur_tok above), so after
+        # reordering, beam k's slot-t ancestor is ``parent`` — which is
+        # exactly what permuting the (self-stamped) table rows produces.
+        anc = jnp.take_along_axis(
+            anc, jnp.broadcast_to(parent[:, :, None], anc.shape), axis=1)
     else:
-        cache = cache[:, flat_parent]
+        # Reorder KV cache rows to follow their parents. (Measured note:
+        # gating the gather to only-written length segments via lax.cond
+        # is bit-identical but SLOWER on TPU — the per-segment concatenate
+        # rebuilds the full buffer anyway; the plain whole-buffer gather
+        # wins.) opt_identity_skip wraps the gather in a scalar cond that
+        # skips it when the parent permutation is the identity.
+        flat_parent = (rowsN * K + parent).reshape(-1)
+        if opt_identity_skip:
+            is_identity = jnp.all(flat_parent == jnp.arange(n * K))
+            cache = jax.lax.cond(
+                is_identity, lambda c: c, lambda c: c[:, flat_parent], cache)
+        else:
+            cache = cache[:, flat_parent]
 
     # Freeze lines that are done (keep previous state).
     la = line_active[:, None]
@@ -304,7 +326,8 @@ def _beam_step(variables, cross_kvs, step_beams, fused_head, fused_qkv,
     lengths = jnp.where(la, new_lengths, lengths)
     finished = jnp.where(la, new_finished, finished)
     steps_done = steps_done + line_active.astype(jnp.int32)
-    return tokens, scores, lengths, finished, cache, steps_done, line_active
+    return (tokens, scores, lengths, finished, cache, steps_done,
+            line_active, anc)
 
 
 def _stream_best(cfg, tokens, scores, lengths, finished):
@@ -326,7 +349,8 @@ def _stream_best(cfg, tokens, scores, lengths, finished):
                                    "eos_id", "unk_dec_id", "dec_offset", "bos_id",
                                    "opt_shared_kv", "opt_fused_head",
                                    "opt_identity_skip", "opt_fused_qkv",
-                                   "opt_unroll", "opt_cache_segments"))
+                                   "opt_unroll", "opt_cache_segments",
+                                   "opt_ancestry"))
 def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 ctc_logits: Optional[jnp.ndarray], target_len: jnp.ndarray,
                 ctc_conf: jnp.ndarray, *, cfg, k_beam: int, l_cap: int,
@@ -335,7 +359,8 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 opt_shared_kv: bool = True, opt_fused_head: bool = True,
                 opt_identity_skip: bool = True,
                 opt_fused_qkv: bool = True, opt_unroll: int = 1,
-                opt_cache_segments: int = 3) -> DecodeOut:
+                opt_cache_segments: int = 3,
+                opt_ancestry: bool = True) -> DecodeOut:
     """Batched beam search over N lines with K beams each.
 
     mem_proj:   [N, T, Ddec] projected encoder memory
@@ -352,6 +377,15 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 overshoot sub-steps no-ops, tests/test_beam_unroll.py); >1
                 amortizes per-iteration loop overhead at the cost of up to
                 unroll-1 wasted tail sub-steps.
+    opt_ancestry: permute-free beam mode (K > 1 only). The KV cache is
+                never reordered by beam parent; a [N, K, l_buf] ancestry
+                table is permuted instead (layers.decoder_step_layer
+                ``anc``), removing the per-step whole-cache gather — the
+                read+write half of the loop's cache-sized HBM traffic.
+                Same candidate math; the only numeric caveat is the V
+                contraction's (j, t) reduction order vs (t,), which can
+                differ in the last ulp (text/score parity is asserted by
+                tests/test_beam_unroll.py::test_ancestry_parity).
     opt_cache_segments: static number of KV-cache growth segments. The
                 dominant per-step HBM traffic is cache-sized (the self-attn
                 K/V read and the beam parent-permute gather both touch the
@@ -401,6 +435,9 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
     scores0 = jnp.full((n, K), NEG_INF).at[:, 0].set(0.0)
     lengths0 = jnp.ones((n, K), jnp.int32)
     finished0 = jnp.zeros((n, K), bool)
+    use_anc = opt_ancestry and K > 1
+    anc0 = (jnp.zeros((n, K, l_buf), jnp.int32) if use_anc
+            else jnp.zeros((), jnp.int32))
 
     hist_shape = (n, l_cap if record_history else 1, l_buf)
     hist = {
@@ -413,7 +450,8 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
 
     def make_cond(t_limit):
         def cond(state):
-            t, tokens, scores, lengths, finished, cache, hist, steps_done = state
+            (t, tokens, scores, lengths, finished, cache, hist, steps_done,
+             anc) = state
             line_active = (t < max_steps) & ~jnp.all(finished, axis=1)
             alive = jnp.any(line_active)
             if t_limit is not None:
@@ -425,15 +463,19 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
         return cond
 
     def body(state):
-        t, tokens, scores, lengths, finished, cache, hist, steps_done = state
+        (t, tokens, scores, lengths, finished, cache, hist, steps_done,
+         anc) = state
         for j in range(opt_unroll):
             tj = t + j
             (tokens, scores, lengths, finished, cache, steps_done,
-             line_active) = _beam_step(
+             line_active, anc_new) = _beam_step(
                 variables, cross_kvs, step_beams, fused_head, fused_qkv,
                 target_len, max_steps, tj, tokens, scores, lengths, finished,
                 cache, steps_done, cfg=cfg, eos_id=eos_id,
-                unk_dec_id=unk_dec_id, opt_identity_skip=opt_identity_skip)
+                unk_dec_id=unk_dec_id, opt_identity_skip=opt_identity_skip,
+                anc=anc if use_anc else None)
+            if use_anc:
+                anc = anc_new
 
             if record_history:
                 bt, bl, bs, bf = _stream_best(cfg, tokens, scores, lengths,
@@ -449,23 +491,25 @@ def beam_search(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                 }
 
         return (t + opt_unroll, tokens, scores, lengths, finished, cache,
-                hist, steps_done)
+                hist, steps_done, anc)
 
     steps_done0 = jnp.zeros((n,), jnp.int32)
     state = (jnp.asarray(0, jnp.int32), tokens0, scores0, lengths0, finished0,
-             cache, hist, steps_done0)
+             cache, hist, steps_done0, anc0)
     for si, w_seg in enumerate(windows):
         last = si == len(windows) - 1
         state = jax.lax.while_loop(make_cond(None if last else w_seg),
                                    body, state)
         if not last:
-            t, tokens, scores, lengths, finished, cache, hist, steps_done = state
+            (t, tokens, scores, lengths, finished, cache, hist, steps_done,
+             anc) = state
             cache = jnp.pad(cache, ((0, 0), (0, 0),
                                     (0, windows[si + 1] - w_seg),
                                     (0, 0), (0, 0), (0, 0)))
             state = (t, tokens, scores, lengths, finished, cache, hist,
-                     steps_done)
-    _, tokens, scores, lengths, finished, cache, hist, steps_done = state
+                     steps_done, anc)
+    (_, tokens, scores, lengths, finished, cache, hist, steps_done,
+     _) = state
 
     # ---------- final scoring with CTC fusion (kiri_ocr/model.py:561-598) ----
     L = jnp.maximum(1, lengths - 1).astype(jnp.float32)
@@ -858,6 +902,8 @@ class BeamStreamState(NamedTuple):
     cache: Dict[str, jnp.ndarray]
     steps_done: jnp.ndarray  # [N]
     max_steps: jnp.ndarray   # [N] per-line step budget (static over windows)
+    anc: jnp.ndarray         # [N, K, l_buf] ancestry table (permute-free
+    # beam mode; carried zeros when unused so the state pytree is stable)
 
 
 class GreedyStreamState(NamedTuple):
@@ -896,18 +942,20 @@ def beam_stream_init(variables: Dict[str, Any], mem_proj: jnp.ndarray,
         finished=jnp.zeros((n, K), bool),
         cache=cache,
         steps_done=jnp.zeros((n,), jnp.int32),
-        max_steps=jnp.minimum(max_decode_steps(cfg, target_len, t_mem), l_cap))
+        max_steps=jnp.minimum(max_decode_steps(cfg, target_len, t_mem), l_cap),
+        anc=jnp.zeros((n, K, l_buf), jnp.int32))
     return state, cross_kvs
 
 
 @partial(jax.jit, static_argnames=("cfg", "k_beam", "w", "eos_id",
                                    "unk_dec_id", "opt_shared_kv",
-                                   "opt_identity_skip"))
+                                   "opt_identity_skip", "opt_ancestry"))
 def beam_stream_window(variables: Dict[str, Any], state: BeamStreamState,
                        cross_kvs, target_len: jnp.ndarray, *, cfg,
                        k_beam: int, w: int, eos_id: int = 2,
                        unk_dec_id: int = 3, opt_shared_kv: bool = True,
-                       opt_identity_skip: bool = True):
+                       opt_identity_skip: bool = True,
+                       opt_ancestry: bool = True):
     """Advance every line by up to ``w`` beam steps.
 
     Returns (new_state, hist, all_done): ``hist`` holds the per-step
@@ -930,19 +978,24 @@ def beam_stream_window(variables: Dict[str, Any], state: BeamStreamState,
         "fin": jnp.zeros((n, w), bool),
     }
 
+    use_anc = opt_ancestry and K > 1
+
     def cond(s):
-        t, tokens, scores, lengths, finished, cache, steps_done, hist = s
+        t, tokens, scores, lengths, finished, cache, steps_done, hist, anc = s
         line_active = (t < state.max_steps) & ~jnp.all(finished, axis=1)
         return (t < t_end) & jnp.any(line_active)
 
     def body(s):
-        t, tokens, scores, lengths, finished, cache, steps_done, hist = s
+        t, tokens, scores, lengths, finished, cache, steps_done, hist, anc = s
         (tokens, scores, lengths, finished, cache, steps_done,
-         line_active) = _beam_step(
+         line_active, anc_new) = _beam_step(
             variables, cross_kvs, step_beams, fused_head, fused_qkv,
             target_len, state.max_steps, t, tokens, scores, lengths,
             finished, cache, steps_done, cfg=cfg, eos_id=eos_id,
-            unk_dec_id=unk_dec_id, opt_identity_skip=opt_identity_skip)
+            unk_dec_id=unk_dec_id, opt_identity_skip=opt_identity_skip,
+            anc=anc if use_anc else None)
+        if use_anc:
+            anc = anc_new
         bt, bl, bs, bf = _stream_best(cfg, tokens, scores, lengths, finished)
         wi = t - t0
         hist = {
@@ -956,14 +1009,15 @@ def beam_stream_window(variables: Dict[str, Any], state: BeamStreamState,
                 jnp.where(line_active, bf, hist["fin"][:, wi])),
         }
         return (t + 1, tokens, scores, lengths, finished, cache, steps_done,
-                hist)
+                hist, anc)
 
-    t, tokens, scores, lengths, finished, cache, steps_done, hist = \
+    t, tokens, scores, lengths, finished, cache, steps_done, hist, anc = \
         jax.lax.while_loop(cond, body, (t0, state.tokens, state.scores,
                                         state.lengths, state.finished,
-                                        state.cache, state.steps_done, hist0))
+                                        state.cache, state.steps_done, hist0,
+                                        state.anc))
     new_state = BeamStreamState(t, tokens, scores, lengths, finished, cache,
-                                steps_done, state.max_steps)
+                                steps_done, state.max_steps, anc)
     all_done = ~jnp.any((t < state.max_steps) & ~jnp.all(finished, axis=1))
     return new_state, hist, all_done
 

@@ -42,8 +42,8 @@ def setup(tmp_path_factory):
 @pytest.mark.parametrize("unroll", [2, 3, 4])
 def test_unroll_bit_identical(setup, unroll):
     args, kw, _engine = setup
-    base = D.beam_search(*args, **kw, opt_unroll=1)
-    got = D.beam_search(*args, **kw, opt_unroll=unroll)
+    base = D.beam_search(*args, **kw, opt_unroll=1, opt_ancestry=False)
+    got = D.beam_search(*args, **kw, opt_unroll=unroll, opt_ancestry=False)
     np.testing.assert_array_equal(np.asarray(base.tokens),
                                   np.asarray(got.tokens))
     np.testing.assert_array_equal(np.asarray(base.lengths),
@@ -60,16 +60,20 @@ def test_cache_segments_parity(setup, l_cap, unroll):
     slots either way, and permuting all-zero tail rows yields zeros."""
     args, kw, _engine = setup
     kw = dict(kw, l_cap=l_cap)
-    base = D.beam_search(*args, **kw, opt_cache_segments=1)
-    got = D.beam_search(*args, **kw, opt_cache_segments=3, opt_unroll=unroll)
+    base = D.beam_search(*args, **kw, opt_cache_segments=1,
+                         opt_ancestry=False)
+    got = D.beam_search(*args, **kw, opt_cache_segments=3, opt_unroll=unroll,
+                        opt_ancestry=False)
     np.testing.assert_array_equal(np.asarray(base.tokens),
                                   np.asarray(got.tokens))
     np.testing.assert_array_equal(np.asarray(base.lengths),
                                   np.asarray(got.lengths))
     np.testing.assert_allclose(np.asarray(base.final_conf),
                                np.asarray(got.final_conf), rtol=0, atol=0)
-    h1 = D.beam_search(*args, **kw, record_history=True, opt_cache_segments=1)
-    h3 = D.beam_search(*args, **kw, record_history=True, opt_cache_segments=3)
+    h1 = D.beam_search(*args, **kw, record_history=True, opt_cache_segments=1,
+                       opt_ancestry=False)
+    h3 = D.beam_search(*args, **kw, record_history=True, opt_cache_segments=3,
+                       opt_ancestry=False)
     np.testing.assert_array_equal(np.asarray(h1.hist_tokens),
                                   np.asarray(h3.hist_tokens))
     np.testing.assert_array_equal(np.asarray(h1.hist_len),
@@ -100,10 +104,67 @@ def test_beam_device_bucketed_parity(setup):
         np.testing.assert_array_equal(got_tokens[i][:L], bt[i, :L])
 
 
+@pytest.mark.parametrize("l_cap", [16, 64])
+def test_ancestry_parity(setup, l_cap):
+    """Permute-free beam (opt_ancestry) returns the same beams as the
+    cache-permuting loop: same tokens/lengths/finish pattern, scores equal
+    up to reduction-order ulps (the V contraction sums over (j, t) instead
+    of (t,); every extra term is an exact zero but the association of the
+    true terms may differ)."""
+    args, kw, _engine = setup
+    kw = dict(kw, l_cap=l_cap)
+    base = D.beam_search(*args, **kw, opt_ancestry=False)
+    got = D.beam_search(*args, **kw, opt_ancestry=True)
+    np.testing.assert_array_equal(np.asarray(base.tokens),
+                                  np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(base.lengths),
+                                  np.asarray(got.lengths))
+    np.testing.assert_allclose(np.asarray(base.final_conf),
+                               np.asarray(got.final_conf), atol=1e-4)
+    h0 = D.beam_search(*args, **kw, record_history=True, opt_ancestry=False)
+    h1 = D.beam_search(*args, **kw, record_history=True, opt_ancestry=True)
+    np.testing.assert_array_equal(np.asarray(h0.hist_tokens),
+                                  np.asarray(h1.hist_tokens))
+    np.testing.assert_array_equal(np.asarray(h0.hist_len),
+                                  np.asarray(h1.hist_len))
+
+
+def test_ancestry_streaming_parity(setup):
+    """Windowed streaming with the ancestry table resumes across windows
+    identically to the permuting streaming loop."""
+    args, kw, _engine = setup
+    variables, memp, ctc, tl, conf = args
+    import jax.numpy as jnp
+    outs = []
+    for anc_on in (False, True):
+        state, cross = D.beam_stream_init(variables, memp, jnp.asarray(tl),
+                                          cfg=CFG_TINY, k_beam=3, l_cap=16,
+                                          bos_id=kw["bos_id"])
+        hists = []
+        for _ in range(8):
+            state, hist, done = D.beam_stream_window(
+                variables, state, cross, jnp.asarray(tl), cfg=CFG_TINY,
+                k_beam=3, w=4, eos_id=kw["eos_id"],
+                unk_dec_id=kw["unk_dec_id"], opt_ancestry=anc_on)
+            hists.append({k: np.asarray(v) for k, v in hist.items()})
+            if bool(done):
+                break
+        outs.append((np.asarray(state.tokens), np.asarray(state.lengths),
+                     hists))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    assert len(outs[0][2]) == len(outs[1][2])
+    for ha, hb in zip(outs[0][2], outs[1][2]):
+        np.testing.assert_array_equal(ha["tokens"], hb["tokens"])
+        np.testing.assert_array_equal(ha["len"], hb["len"])
+
+
 def test_unroll_history_identical(setup):
     args, kw, _engine = setup
-    base = D.beam_search(*args, **kw, record_history=True, opt_unroll=1)
-    got = D.beam_search(*args, **kw, record_history=True, opt_unroll=4)
+    base = D.beam_search(*args, **kw, record_history=True, opt_unroll=1,
+                         opt_ancestry=False)
+    got = D.beam_search(*args, **kw, record_history=True, opt_unroll=4,
+                        opt_ancestry=False)
     np.testing.assert_array_equal(np.asarray(base.hist_tokens),
                                   np.asarray(got.hist_tokens))
     np.testing.assert_array_equal(np.asarray(base.hist_len),
