@@ -86,9 +86,21 @@ def main() -> None:
     from kiri_tpu.data.synth import sample_text
     from kiri_tpu.ops.preprocess import content_width, resize_keep_ratio_pad_np
 
-    rng_texts = [sample_text(gen.rng, 2, 8, charset) for _ in range(N_LINES)]
+    # Bilingual CER workload: 40% Khmer lines (the reference harness is 100%
+    # Khmer fonts — benchmark/generate_bench_data.py:26-37 — so an
+    # English-only avg_cer would be blind to exactly the regression class
+    # that matters most; VERDICT r4 #2). Interleaved so every timed subset
+    # (beam uses the first N_LINES_BEAM rows) sees both scripts.
+    from kiri_tpu.data.synth import sample_khmer_text
+
+    rng_texts = [
+        sample_khmer_text(gen.rng, 2, 6) if i % 5 < 2
+        else sample_text(gen.rng, 2, 8, charset)
+        for i in range(N_LINES)
+    ]
     samples = gen.generate_samples(N_LINES, texts=rng_texts)
     texts = [s["text"] for s in samples]
+    is_khmer = [any(0x1780 <= ord(c) <= 0x17FF for c in t) for t in texts]
     widths = np.asarray([content_width(s["image"].shape, cfg.IMG_H, cfg.IMG_W)
                          for s in samples], np.int32)
     imgs = np.stack([
@@ -127,10 +139,21 @@ def main() -> None:
             for i in range(0, n, BATCH):
                 outs.extend(engine.recognize_batch(imgs[i: i + BATCH], method))
             dt = time.perf_counter() - t0
-        return len(outs) / dt, _avg_cer(texts[:len(outs)], outs)
+        return len(outs) / dt, _avg_cer(texts[:len(outs)], outs), outs
+
+    def _cer_split(outs, flag):
+        """avg CER over rows where is_khmer == flag."""
+        pairs = [(t, o) for t, o, k in zip(texts, outs, is_khmer)
+                 if k is flag]
+        if not pairs:
+            return float("nan")
+        return float(np.mean([_lev(t, o[0]) / max(1, len(t))
+                              for t, o in pairs]))
 
     jax.block_until_ready(jax.numpy.zeros(()))
-    lines_per_sec, avg_cer = run("ctc", N_LINES)
+    lines_per_sec, avg_cer, fast_outs = run("ctc", N_LINES)
+    khmer_cer = _cer_split(fast_outs, True)
+    english_cer = _cer_split(fast_outs, False)
 
     # Opt-in 4-bit packed uploads (upload_bits=4): halves the recognition
     # upload bytes at 16 gray levels — the tunnel-fed serving knob.
@@ -148,7 +171,7 @@ def main() -> None:
     # Beam runs width-bucketed like production: short lines hit narrow
     # encoder programs AND short step-bucket while_loops; the warmup pass
     # compiles every (batch, width, step) combo before timing.
-    beam_lps, beam_cer = run("beam", N_LINES_BEAM)
+    beam_lps, beam_cer, _ = run("beam", N_LINES_BEAM)
 
     # Device-resident fast-path throughput: inputs pre-placed on the chip,
     # so the number isolates what the TPU itself sustains (encode + CTC +
@@ -247,17 +270,29 @@ def main() -> None:
     import os
 
     page: dict = {}
-    if os.environ.get("KIRI_BENCH_PAGES", "1") != "0" and ckpt.exists() \
-            and time.monotonic() - t_start < 330:
+    elapsed = time.monotonic() - t_start
+    if os.environ.get("KIRI_BENCH_PAGES", "1") == "0":
+        page["page_cer_note"] = "skipped: KIRI_BENCH_PAGES=0"
+    elif not ckpt.exists():
+        page["page_cer_note"] = "skipped: no trained checkpoint"
+    elif elapsed >= 390:
+        # BENCH_r04 hit this guard silently (no keys, no note) — the
+        # wall-clock path must say so too (VERDICT r4 weak #5).
+        page["page_cer_note"] = (
+            f"skipped: wall-clock guard ({elapsed:.0f}s elapsed before "
+            "page block; throughput rows protected)")
+    else:
         try:
             from kiri_tpu.evalpage import eval_condition
             from kiri_tpu.pipeline import OCR as _OCR
 
             pocr = _OCR(str(ckpt), det_method="db", decode_method="fast",
                         deskew=True, enhance=True)
-            deadline = t_start + 480
+            deadline = t_start + 540
             for cond in ("clean", "rotated", "noisy"):
                 if time.monotonic() > deadline:
+                    page["page_cer_note"] = (
+                        f"partial: deadline before '{cond}'")
                     break
                 row = eval_condition(pocr, cond, n=3, deadline=deadline)
                 page[f"page_cer_{cond}"] = row["matched_cer"]
@@ -277,6 +312,10 @@ def main() -> None:
         "throughput_note": "tunnel-fed rows are best-of-3 timed passes "
                            "(link bandwidth swings 3-4x between minutes)",
         "avg_cer": round(avg_cer, 4),
+        "khmer_cer": round(khmer_cer, 4),
+        "english_cer": round(english_cer, 4),
+        "cer_note": "bilingual workload: 40% shaped-Khmer lines "
+                    "(reference harness is 100% Khmer fonts)",
         "beam_lines_per_sec": round(beam_lps, 2),
         "beam_avg_cer": round(beam_cer, 4),
         "quant4_lines_per_sec": round(q4_lps, 2),

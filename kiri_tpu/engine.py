@@ -537,7 +537,12 @@ class RecognizerEngine:
             sel = order[s: s + chunk]
             l_cap = D.pick_l_cap(self.cfg, int(ms[sel].max(initial=1)))
             b2 = D.pick_batch_bucket(self.cfg, len(sel))
-            sel_pad = np.concatenate([sel, np.zeros(b2 - len(sel), np.int32)])
+            # Pad with the chunk's own smallest-budget row (sel is
+            # budget-sorted, so sel[0]): padding with absolute row 0 would
+            # keep the while_loop alive up to THAT row's budget — possibly
+            # the batch's largest — after every real row finished.
+            sel_pad = np.concatenate(
+                [sel, np.full(b2 - len(sel), sel[0], np.int32)])
             sel_dev = jnp.asarray(sel_pad)
             dec = D.beam_search(
                 self.variables, jnp.take(memp, sel_dev, axis=0),

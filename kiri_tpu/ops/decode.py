@@ -918,13 +918,21 @@ class GreedyStreamState(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "k_beam", "l_cap", "bos_id",
-                                   "opt_shared_kv"))
+                                   "opt_shared_kv", "opt_ancestry"))
 def beam_stream_init(variables: Dict[str, Any], mem_proj: jnp.ndarray,
                      target_len: jnp.ndarray, *, cfg, k_beam: int, l_cap: int,
-                     bos_id: int = 1, opt_shared_kv: bool = True
+                     bos_id: int = 1, opt_shared_kv: bool = True,
+                     opt_ancestry: bool = True
                      ) -> Tuple[BeamStreamState, Any]:
     """Initial beam state + per-layer cross-attention K/V (kept on device
-    and passed unchanged to every ``beam_stream_window`` call)."""
+    and passed unchanged to every ``beam_stream_window`` call).
+
+    ``opt_ancestry`` must match the flag passed to every subsequent
+    ``beam_stream_window`` call on this stream: the two modes store the KV
+    cache differently (permuted rows vs ancestry-indexed), so toggling
+    mid-stream would silently corrupt attention. The mode is encoded in the
+    state's ``anc`` buffer shape (zero-width when off), and
+    ``beam_stream_window`` raises at trace time on a mismatch."""
     n, t_mem, _ = mem_proj.shape
     K = k_beam
     l_buf = l_cap + 2
@@ -943,7 +951,8 @@ def beam_stream_init(variables: Dict[str, Any], mem_proj: jnp.ndarray,
         cache=cache,
         steps_done=jnp.zeros((n,), jnp.int32),
         max_steps=jnp.minimum(max_decode_steps(cfg, target_len, t_mem), l_cap),
-        anc=jnp.zeros((n, K, l_buf), jnp.int32))
+        anc=jnp.zeros((n, K, l_buf if (opt_ancestry and K > 1) else 0),
+                      jnp.int32))
     return state, cross_kvs
 
 
@@ -963,8 +972,20 @@ def beam_stream_window(variables: Dict[str, Any], state: BeamStreamState,
     "len"/"score"/"fin" [N, w] — window-step s is global step state.t + s;
     rows a line did not execute stay zero), ``all_done`` is a scalar bool
     (no line has steps left). Step math identical to ``beam_search``.
+
+    ``opt_ancestry`` must equal the flag ``beam_stream_init`` was called
+    with, for every window of one stream (the KV cache layout differs
+    between modes); a mismatch raises ValueError at trace time.
     """
     n, K, l_buf = state.tokens.shape
+    want_anc = l_buf if (opt_ancestry and K > 1) else 0
+    if state.anc.shape[2] != want_anc:
+        raise ValueError(
+            f"beam_stream_window(opt_ancestry={opt_ancestry}) on a state "
+            "initialized for the other mode — the flag must be identical "
+            "in beam_stream_init and every window of one stream (the KV "
+            "cache is permuted in one mode and ancestry-indexed in the "
+            "other; mixing them silently corrupts attention)")
     step_beams = K if opt_shared_kv else 1
     fused_head = R.fuse_output_heads(variables["params"])
     fused_qkv = R.fuse_self_qkv(variables["params"])

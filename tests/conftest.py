@@ -38,7 +38,7 @@ SLOW_MODULES = {
     "test_sharding", "test_trainer", "test_spec_decode", "test_detectors",
     "test_e2e_trained", "test_stem_kernel", "test_parity_corpus",
     "test_cli_parity_flags", "test_ckpt_roundtrip", "test_reference_parity",
-    "test_sharded_ckpt", "test_beam_unroll",
+    "test_sharded_ckpt", "test_beam_unroll", "test_ckpt_regression",
 }
 
 # Individual heavy tests inside otherwise-fast modules (>= ~1.5 s call time),

@@ -139,7 +139,8 @@ def test_ancestry_streaming_parity(setup):
     for anc_on in (False, True):
         state, cross = D.beam_stream_init(variables, memp, jnp.asarray(tl),
                                           cfg=CFG_TINY, k_beam=3, l_cap=16,
-                                          bos_id=kw["bos_id"])
+                                          bos_id=kw["bos_id"],
+                                          opt_ancestry=anc_on)
         hists = []
         for _ in range(8):
             state, hist, done = D.beam_stream_window(
@@ -157,6 +158,21 @@ def test_ancestry_streaming_parity(setup):
     for ha, hb in zip(outs[0][2], outs[1][2]):
         np.testing.assert_array_equal(ha["tokens"], hb["tokens"])
         np.testing.assert_array_equal(ha["len"], hb["len"])
+
+
+def test_stream_window_mode_mismatch_raises(setup):
+    """Toggling opt_ancestry mid-stream is a hard error, not silent
+    cache corruption (ADVICE r4)."""
+    args, kw, _engine = setup
+    variables, memp, ctc, tl, conf = args
+    import jax.numpy as jnp
+    state, cross = D.beam_stream_init(variables, memp, jnp.asarray(tl),
+                                      cfg=CFG_TINY, k_beam=3, l_cap=16,
+                                      bos_id=kw["bos_id"], opt_ancestry=True)
+    with pytest.raises(ValueError, match="opt_ancestry"):
+        D.beam_stream_window(variables, state, cross, jnp.asarray(tl),
+                             cfg=CFG_TINY, k_beam=3, w=4, eos_id=kw["eos_id"],
+                             unk_dec_id=kw["unk_dec_id"], opt_ancestry=False)
 
 
 def test_unroll_history_identical(setup):

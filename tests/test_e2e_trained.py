@@ -186,3 +186,27 @@ def test_config3_mixed_khmer_english_accurate(tmp_path):
     hyp = unicodedata.normalize("NFC", text)
     cer = _lev(gt, hyp) / max(1, len(gt))
     assert cer < 0.12, f"mixed-script CER {cer:.4f}"
+
+    # Khmer-only matched-line CER: the page average above can hide a
+    # collapsed Khmer model behind good English rows (exactly round 4's
+    # shaping regression — VERDICT r4 #3). Match GT lines to result boxes
+    # by center containment (same rule as kiri_tpu.evalpage).
+    kh_err = kh_len = 0
+    for (gx, gy, gw, gh), gt_text in zip(doc["lines"], doc["texts"]):
+        if not any(0x1780 <= ord(c) <= 0x17FF for c in gt_text):
+            continue
+        cx, cy = gx + gw / 2, gy + gh / 2
+        best = None
+        for r in results:
+            x, y, w, h = r["box"]
+            if x <= cx <= x + w and y <= cy <= y + h:
+                d = abs((y + h / 2) - cy) + abs((x + w / 2) - cx)
+                if best is None or d < best[1]:
+                    best = (r["text"], d)
+        gt_n = unicodedata.normalize("NFC", gt_text)
+        kh_len += len(gt_n)
+        kh_err += (_lev(unicodedata.normalize("NFC", best[0]), gt_n)
+                   if best else len(gt_n))
+    assert kh_len > 0, "no Khmer GT lines to score"
+    kh_cer = kh_err / kh_len
+    assert kh_cer < 0.08, f"Khmer-only matched CER {kh_cer:.4f}"
