@@ -44,6 +44,7 @@ SLOW_MODULES = {
 # Individual heavy tests inside otherwise-fast modules (>= ~1.5 s call time),
 # so those modules keep their quick smoke tests in the core tier.
 SLOW_TESTS = {
+    "test_quant8_flagship_text_parity",
     "test_process_documents_mixed_sizes_order",
     "test_auto_decode_method_end_to_end",
     "test_extract_text_result_schema",
