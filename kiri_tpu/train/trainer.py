@@ -258,14 +258,20 @@ def collate(samples: List[Dict[str, Any]], tok: CharTokenizer,
     enc_dec = [tok.encode_dec(t)[: max_seq_len] for t in texts]
 
     def _bucket(v: int) -> int:
-        # Pad target lengths to multiples of 16 so XLA compiles a handful of
-        # train-step shapes instead of one per batch (recompile per step
-        # otherwise dominates wall clock).
-        return min(max_seq_len, ((v + 15) // 16) * 16)
+        # Pad target lengths to multiples of 48 so XLA compiles a handful of
+        # train-step shapes instead of one per batch. Granularity matters on
+        # a tunneled backend: each (width, length) combo is a multi-minute
+        # compile, and at the original 16-step grid the (4 widths) x (many
+        # lc) x (many ld) cross-product dominated epoch wall clock (measured
+        # ~13 s/step average vs 0.2 s/step warm).
+        return min(max_seq_len, ((v + 47) // 48) * 48)
 
     b = len(samples)
-    lc = _bucket(max(1, max((len(e) for e in enc_ctc), default=1)))
-    ld = _bucket(max(2, max((len(e) for e in enc_dec), default=2)))
+    # One shared length bucket for both targets: the decoder row is the CTC
+    # row +bos/eos, so splitting them only doubled the compiled-shape set.
+    shared = _bucket(max(2, max((len(e) for e in enc_dec), default=2),
+                         max((len(e) for e in enc_ctc), default=1)))
+    lc = ld = shared
     ctc_target = np.zeros((b, lc), np.int32)
     ctc_len = np.zeros((b,), np.int32)
     dec_inp = np.zeros((b, ld - 1), np.int32)
