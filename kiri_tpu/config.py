@@ -27,6 +27,12 @@ class CFG:
     UNK_TOKEN: str = "<unk>"
     COLLAPSE_WHITESPACE: bool = True
     UNICODE_NFC: bool = True
+    # Train/serve the model on VISUAL-order Khmer tokens (pre-base vowels
+    # before their base, matching the ink) and reorder to logical Unicode at
+    # the tokenizer boundary. Monotonic labels converge far better for CTC
+    # on shaped Khmer; carried in checkpoint meta so loading a checkpoint
+    # picks the token space it was trained in (data/khmer_order.py).
+    KHMER_VISUAL_ORDER: bool = False
 
     ENC_DIM: int = 256
     ENC_LAYERS: int = 4

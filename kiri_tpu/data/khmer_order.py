@@ -92,6 +92,66 @@ def _visual_cluster_end(text: str, i: int) -> int:
     return j
 
 
+def stable_visual_prefix(text: str) -> int:
+    """Length of the visual-order prefix whose logical transform can no
+    longer change as more characters arrive.
+
+    The last visual "unit" (an optional pre-base vowel run plus its —
+    possibly still incomplete — cluster, or a dangling run/char) is held
+    back: a future combining mark or coeng pair could still extend it, and
+    a buffered pre-base vowel's logical insertion point moves as coeng
+    pairs arrive. Everything before that unit is final because
+    ``to_logical_order`` processes units independently.
+    """
+    i, n = 0, len(text)
+    last_start = 0
+    while i < n:
+        start = i
+        while i < n and ord(text[i]) in _PREBASE:
+            i += 1
+        if i < n and _khmer_class(ord(text[i])) == "base":
+            i = _visual_cluster_end(text, i)
+        elif i == start:
+            i += 1
+        last_start = start
+    return last_start
+
+
+class IncrementalLogical:
+    """Streaming visual->logical reordering that only ever APPENDS.
+
+    Feed visual-order characters with :meth:`push`; it returns the newly
+    stabilized logical characters (possibly "" while a cluster is still
+    open, possibly several once it closes). :meth:`flush` returns the
+    remainder at end of stream. ``emitted`` always equals
+    ``to_logical_order(everything_pushed)[: len(emitted)]`` — chunk
+    consumers can treat it as a monotonically growing logical transcript.
+    """
+
+    def __init__(self) -> None:
+        self._raw = ""
+        self._stable = 0  # chars of _raw already emitted (logical length ==
+        #                   visual length: the transform is a permutation)
+
+    @property
+    def emitted(self) -> str:
+        return to_logical_order(self._raw[: self._stable])
+
+    def push(self, chars: str) -> str:
+        self._raw += chars
+        j = stable_visual_prefix(self._raw)
+        if j <= self._stable:
+            return ""
+        out = to_logical_order(self._raw[: j])[self._stable:]
+        self._stable = j
+        return out
+
+    def flush(self) -> str:
+        out = to_logical_order(self._raw)[self._stable:]
+        self._stable = len(self._raw)
+        return out
+
+
 def to_logical_order(text: str) -> str:
     """Inverse of :func:`to_visual_order` on well-formed visual text.
 

@@ -647,6 +647,11 @@ class RecognizerEngine:
         decoded = ""
         prev = None
         step = 0
+        # Visual-order checkpoints emit ink-order tokens; the stream holds
+        # back an open Khmer cluster and releases its logical characters
+        # once it closes (token may be "" or several chars — the text field
+        # is always a stable logical prefix). Identity on English.
+        filt = self._stream_filter()
         for t in range(len(best_ids)):
             idx = int(best_ids[t])
             if idx == prev:
@@ -658,14 +663,25 @@ class RecognizerEngine:
             if 0 <= raw < self.tok.vocab_size:
                 char = self.tok.id_to_token.get(raw, "")
                 if char and char != self.tok.unk_token:
-                    decoded += char
+                    emit = filt.push(char) if filt is not None else char
+                    decoded += emit
                     step += 1
-                    yield {"token": char, "token_id": idx, "text": decoded,
+                    yield {"token": emit, "token_id": idx, "text": decoded,
                            "confidence": float(max_probs[t]), "step": step,
                            "finished": False}
-        yield {"token": "", "token_id": -1, "text": decoded,
+        tail = filt.flush() if filt is not None else ""
+        decoded += tail
+        yield {"token": tail, "token_id": -1, "text": decoded,
                "confidence": float(max_probs.mean()), "step": step,
                "finished": True}
+
+    def _stream_filter(self):
+        """IncrementalLogical for visual-order checkpoints, else None."""
+        if not self.tok.visual_order:
+            return None
+        from .data.khmer_order import IncrementalLogical
+
+        return IncrementalLogical()
 
     def _stream_greedy(self, out: D.DecodeOut,
                        row: int = 0) -> Generator[Dict, None, None]:
@@ -673,6 +689,8 @@ class RecognizerEngine:
         steps = int(np.asarray(out.hist_steps)[row])
         extra = np.asarray(out.hist_extra)[row]  # [S, 2] = (raw prob, token id)
         text = ""
+        filt = self._stream_filter()
+        prob = 0.0
         for s in range(steps):
             prob, tid = float(extra[s, 0]), int(extra[s, 1])
             finished = tid == self.tok.dec_eos
@@ -684,12 +702,27 @@ class RecognizerEngine:
                     # Reference quirk (model.py:925-930): an <unk> step
                     # yields token='<unk>' but does NOT grow the text.
                     char = self.tok.id_to_token.get(raw, "")
+                    if char != self.tok.unk_token and filt is not None:
+                        char = filt.push(char)  # logical diff, may be ""
                     if char != self.tok.unk_token:
                         text += char
+            if finished and filt is not None:
+                tail = filt.flush()
+                char, text = char + tail, text + tail
             yield {"token": char, "token_id": tid, "text": text,
                    "confidence": prob, "step": s + 1, "finished": finished}
             if finished:
                 break
+        else:
+            # Step budget exhausted without EOS: release any held-back
+            # cluster so the streamed text is complete (visual mode only —
+            # tail is always "" otherwise and no extra record is emitted).
+            tail = filt.flush() if filt is not None else ""
+            if tail:
+                text += tail
+                yield {"token": tail, "token_id": -1, "text": text,
+                       "confidence": prob, "step": steps + 1,
+                       "finished": False}
 
     def _stream_beam(self, out: D.DecodeOut,
                      row: int = 0) -> Generator[Dict, None, None]:
@@ -756,6 +789,10 @@ class _WindowedStream:
         self.buffers: List[List[Dict]] = [[] for _ in range(n)]
         self._prev_texts = [""] * n          # beam diff state
         self._texts = [""] * n               # greedy cumulative text
+        # Visual-order checkpoints: per-row incremental logical reordering
+        # for the greedy char stream (beam texts go through decode_dec,
+        # which already returns logical text).
+        self._filts = [engine._stream_filter() for _ in range(n)]
         self._stopped = [False] * n          # finished record emitted
         self._t0 = 0                         # global step of next window
         self.done = False
@@ -825,8 +862,15 @@ class _WindowedStream:
                             # Reference quirk (model.py:925-930): an <unk>
                             # step yields token='<unk>' but the text stays.
                             char = tok.id_to_token.get(raw, "")
+                            if (char != tok.unk_token
+                                    and self._filts[i] is not None):
+                                char = self._filts[i].push(char)
                             if char != tok.unk_token:
                                 self._texts[i] += char
+                    if finished and self._filts[i] is not None:
+                        tail = self._filts[i].flush()
+                        char += tail
+                        self._texts[i] += tail
                     self.buffers[i].append(
                         {"token": char, "token_id": tid,
                          "text": self._texts[i], "confidence": prob,
@@ -846,5 +890,14 @@ class _WindowedStream:
                 emitted += 1
                 yield rec
             if self._stopped[i] or self.done:
+                if not self._stopped[i] and self._filts[i] is not None:
+                    # Budget exhausted without EOS: release the held-back
+                    # cluster (mirrors _stream_greedy's tail record).
+                    tail = self._filts[i].flush()
+                    if tail:
+                        self._texts[i] += tail
+                        yield {"token": tail, "token_id": -1,
+                               "text": self._texts[i], "confidence": 0.0,
+                               "step": self._t0 + 1, "finished": False}
                 return
             self.advance()

@@ -27,6 +27,20 @@ import numpy as np
 class CharTokenizer:
     def __init__(self, vocab_path: Union[str, Path], cfg=None):
         unk_token = getattr(cfg, "UNK_TOKEN", "<unk>") if cfg is not None else "<unk>"
+        # KHMER_VISUAL_ORDER checkpoints are trained on ink-order labels
+        # (pre-base vowels before their base consonant — monotonic for CTC);
+        # the tokenizer is the single boundary where the model's visual
+        # token space meets user-facing logical text, so encode applies
+        # to_visual_order and every decode applies the exact inverse. Both
+        # are the identity on English and on Khmer without pre-base vowels
+        # (kiri_tpu/data/khmer_order.py).
+        self.visual_order = bool(getattr(cfg, "KHMER_VISUAL_ORDER", False))
+        if self.visual_order:
+            from .data.khmer_order import to_logical_order, to_visual_order
+
+            self._to_visual, self._to_logical = to_visual_order, to_logical_order
+        else:
+            self._to_visual = self._to_logical = lambda s: s
         with open(vocab_path, "r", encoding="utf-8") as f:
             vocab_raw: Dict[str, int] = json.load(f)
 
@@ -79,7 +93,7 @@ class CharTokenizer:
                 char = self.id_to_token.get(raw_id, "")
                 if char != self.unk_token:
                     chars.append(char)
-        return "".join(chars)
+        return self._to_logical("".join(chars))
 
     def decode_dec(self, ids: Sequence[int]) -> str:
         out = []
@@ -91,7 +105,7 @@ class CharTokenizer:
             if 0 <= y < self.vocab_size:
                 t = self.id_to_token.get(y, self.unk_token)
                 out.append("" if t == self.unk_token else t)
-        return "".join(out)
+        return self._to_logical("".join(out))
 
     def dec_to_ctc_id(self, dec_id: int) -> int:
         if dec_id in (self.dec_pad, self.dec_bos, self.dec_eos):
@@ -104,6 +118,7 @@ class CharTokenizer:
     # ------------------------------------------------------------- encoding
     def encode_raw(self, text: str) -> List[int]:
         """Text -> raw char ids (<unk> for unknown characters)."""
+        text = self._to_visual(text)
         return [self.token_to_id.get(ch, self.unk_id) for ch in text]
 
     def encode_ctc(self, text: str) -> List[int]:
@@ -137,7 +152,7 @@ class CharTokenizer:
         table = np.array(self._ctc_id_to_char, dtype=object)
         out = []
         for i in range(n):
-            out.append("".join(table[ids[i][keep[i]]]))
+            out.append(self._to_logical("".join(table[ids[i][keep[i]]])))
         return out
 
     def decode_dec_batch(self, ids: np.ndarray, lengths: np.ndarray) -> List[str]:
@@ -150,7 +165,8 @@ class CharTokenizer:
         unk = ids == (self.unk_id + self.dec_offset)
         keep = valid & ~special & ~unk
         table = np.array(self._dec_id_to_char, dtype=object)
-        return ["".join(table[ids[i][keep[i]]]) for i in range(n)]
+        return [self._to_logical("".join(table[ids[i][keep[i]]]))
+                for i in range(n)]
 
     def save(self, path: Union[str, Path]) -> None:
         raw = {tok: i for tok, i in self.token_to_id.items()}

@@ -149,10 +149,18 @@ def make_optimizer(tc: TrainConfig, total_steps: int):
         peak_value=tc.lr,
         pct_start=warmup / max(total_steps, 2),
         div_factor=25.0, final_div_factor=1e4)
+    # The learning rate is NOT baked into the transformation: the schedule
+    # runs on host and the current lr enters the jitted step as a device
+    # scalar (make_train_step / run_step). Baking optax's schedule into the
+    # program made (lr, total_steps) compile-time constants, so every recipe
+    # change recompiled the whole (width x length) program set — minutes per
+    # shape on a tunneled backend. The chain below reproduces optax.adamw
+    # exactly with the final scale_by_learning_rate(-lr) multiply deferred
+    # to the step (one multiply, so numerics match adamw bit-for-bit).
     opt = optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
-        optax.adamw(schedule, b1=tc.betas[0], b2=tc.betas[1],
-                    weight_decay=tc.weight_decay),
+        optax.scale_by_adam(b1=tc.betas[0], b2=tc.betas[1]),
+        optax.add_decayed_weights(tc.weight_decay),
     )
     if tc.train_only == "decoder":
         # Hard-freeze everything outside the AR decode path.  set_to_zero
@@ -175,7 +183,7 @@ def make_train_step(cfg: CFG, tok: CharTokenizer, optimizer,
                     tc: TrainConfig, mesh=None):
     """Returns jitted fn(variables, opt_state, batch, rng) -> (vars, opt, metrics)."""
 
-    def step(variables, opt_state, batch, rng):
+    def step(variables, opt_state, batch, rng, lr):
         grad_fn = jax.value_and_grad(hybrid_loss, has_aux=True)
         (loss, (new_stats, metrics)), grads = grad_fn(
             variables, batch, rng, cfg=cfg, dec_pad=tok.dec_pad,
@@ -185,6 +193,9 @@ def make_train_step(cfg: CFG, tok: CharTokenizer, optimizer,
         grads = grads["params"]
         updates, opt_state = optimizer.update(
             grads, opt_state, variables["params"])
+        # Deferred schedule scaling (see make_optimizer): updates leave the
+        # chain pre-negated, the host-computed lr lands here as a scalar.
+        updates = jax.tree.map(lambda u: u * (-lr), updates)
         new_params = optax.apply_updates(variables["params"], updates)
         # Merge updated BatchNorm running stats (None in decoder-only mode —
         # the frozen encoder keeps its serving statistics).
@@ -381,8 +392,9 @@ class Trainer:
             batch, _ = pad_batch_to_devices(batch, self.mesh)
             batch = shard_batch_global(batch, self.mesh)
         self._rng, rng = jax.random.split(self._rng)
+        lr = jnp.asarray(float(self.schedule(self.step)), jnp.float32)
         self.variables, self.opt_state, metrics = self.train_step(
-            self.variables, self.opt_state, batch, rng)
+            self.variables, self.opt_state, batch, rng, lr)
         self.step += 1
         return {k: float(v) for k, v in metrics.items()}
 

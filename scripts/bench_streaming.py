@@ -41,6 +41,13 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=None,
                     help="stream window (None=cfg default, 0=one-shot)")
     ap.add_argument("--ttfc-runs", type=int, default=5)
+    ap.add_argument("--out", default=None, metavar="FILE",
+                    help="also merge the row into FILE (JSON dict keyed by "
+                         "--label) — used to commit "
+                         "benchmark/results_streaming.json")
+    ap.add_argument("--label", default=None,
+                    help="row key for --out (default: "
+                         "'<decode>_windowed'/'<decode>_oneshot')")
     args = ap.parse_args()
 
     from PIL import Image
@@ -93,7 +100,7 @@ def main() -> None:
                 break
     ttfc_ms = round(float(np.median(ttfc)) * 1000, 1) if ttfc else None
 
-    print(json.dumps({
+    row = {
         "decode_method": args.decode,
         "stream_window": ocr.stream_window,
         "docs": args.docs,
@@ -106,7 +113,15 @@ def main() -> None:
         "streamed_lines": lines,
         "streamed_chars": chars,
         "khmer_ratio": args.khmer_ratio,
-    }))
+    }
+    print(json.dumps(row))
+    if args.out:
+        label = args.label or (
+            f"{args.decode}_{'oneshot' if ocr.stream_window == 0 else 'windowed'}")
+        out_p = Path(args.out)
+        data = (json.loads(out_p.read_text()) if out_p.exists() else {})
+        data[label] = row
+        out_p.write_text(json.dumps(data, indent=2) + "\n")
 
 
 if __name__ == "__main__":

@@ -145,6 +145,11 @@ def main() -> None:
     ap.add_argument("--train-only", default=None, choices=("decoder",),
                     help="'decoder' freezes encoder+CTC (fast path stays "
                          "bit-identical) and trains only the AR decode path")
+    ap.add_argument("--visual-order", action="store_true",
+                    help="train on visual-order Khmer labels (pre-base "
+                         "vowels at cluster front, monotonic with the ink; "
+                         "CFG.KHMER_VISUAL_ORDER) — hypotheses map back to "
+                         "logical order at the tokenizer boundary")
     ap.add_argument("--dec-input-noise", type=float, default=0.0,
                     help="P(corrupt a decoder-input token) — exposure-bias "
                          "regularization for the AR head")
@@ -155,7 +160,8 @@ def main() -> None:
     from kiri_tpu.tokenizer import CharTokenizer, build_full_vocab
     from kiri_tpu.train.trainer import TrainConfig, train_loop
 
-    cfg = CFG(IMG_W=args.img_w, ENC_DIM=args.enc_dim)
+    cfg = CFG(IMG_W=args.img_w, ENC_DIM=args.enc_dim,
+              KHMER_VISUAL_ORDER=args.visual_order)
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
 

@@ -46,3 +46,51 @@ def test_total_on_malformed_output():
     for bad in ["េ", "េេ", "េ ប", "aេ", "្", "េ្ប", "បេេប"]:
         out = to_logical_order(bad)
         assert sorted(out) == sorted(bad)
+
+
+def test_incremental_logical_matches_full_transform():
+    from kiri_tpu.data.khmer_order import IncrementalLogical
+    rng = random.Random(99)
+    for _ in range(500):
+        t = sample_khmer_text(rng, max_words=5, mixed_ratio=0.2,
+                              vowel_p=0.7, sign_p=0.3)
+        v = to_visual_order(t)
+        filt = IncrementalLogical()
+        parts = [filt.push(c) for c in v]
+        parts.append(filt.flush())
+        assert "".join(parts) == t, (t, v, parts)
+        # every prefix emitted is a prefix of the final logical text
+        acc = ""
+        for p in parts:
+            acc += p
+            assert t.startswith(acc)
+
+
+def test_tokenizer_visual_order_roundtrip(tmp_path):
+    import json
+
+    from kiri_tpu.config import CFG
+    from kiri_tpu.tokenizer import CharTokenizer, build_full_vocab
+
+    vp = tmp_path / "vocab.json"
+    build_full_vocab(str(vp), include_khmer=True)
+    cfg_v = CFG(KHMER_VISUAL_ORDER=True)
+    tok_v = CharTokenizer(str(vp), cfg_v)
+    tok_p = CharTokenizer(str(vp), CFG())
+    rng = random.Random(5)
+    for _ in range(200):
+        t = sample_khmer_text(rng, max_words=4, vowel_p=0.8)
+        # encode in visual space == plain-encode of the visual transform
+        assert tok_v.encode_ctc(t) == tok_p.encode_ctc(to_visual_order(t))
+        # decode inverts back to logical text (pad ids between chars so the
+        # CTC collapse cannot merge repeated characters)
+        ids = tok_v.encode_ctc(t)
+        interleaved = []
+        for i in ids:
+            interleaved += [i, tok_v.blank_id]
+        assert tok_v.decode_ctc(interleaved) == t
+        dec = tok_p.encode_dec(to_visual_order(t))
+        assert tok_v.decode_dec(dec) == t
+    # English identity both ways
+    assert tok_v.encode_ctc("Hello") == tok_p.encode_ctc("Hello")
+    assert tok_v.decode_dec(tok_v.encode_dec("Hello")) == "Hello"

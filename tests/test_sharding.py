@@ -5,6 +5,7 @@ training at the same global batch (BatchNorm stats are global-batch)."""
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -45,7 +46,7 @@ def _batch(tok, n=8):
 def _run_one_step(tok, mesh):
     variables = R.init_recognizer(jax.random.PRNGKey(0), CFG_TINY, tok)
     tc = TrainConfig(batch_size=8)
-    optimizer, _ = make_optimizer(tc, 100)
+    optimizer, sched = make_optimizer(tc, 100)
     if mesh is not None:
         variables = shard_variables(variables, mesh)
     opt_state = optimizer.init(variables["params"])
@@ -55,7 +56,8 @@ def _run_one_step(tok, mesh):
         batch, _ = pad_batch_to_devices(batch, mesh)
         batch = shard_batch(batch, mesh)
     new_vars, _, metrics = step(variables, opt_state, batch,
-                                jax.random.PRNGKey(42))
+                                jax.random.PRNGKey(42),
+                                jnp.float32(sched(0)))
     return jax.device_get(new_vars), float(metrics["loss"])
 
 
