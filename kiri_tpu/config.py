@@ -112,6 +112,22 @@ class CFG:
     # most of the accurate-vs-beam CER gap at zero extra decoder passes.
     # False restores the pure sequential-decode-equivalent output.
     ACCURATE_CTC_RESCORE: bool = True
+    # Certificate-gated speculative beam: beam mode first runs the
+    # CTC-drafted single-hypothesis decode plus ONE teacher-forced
+    # certificate pass that PROVES (score upper bounds over every possible
+    # beam branch, ops/decode.beam_spec_certificate) the step-loop beam
+    # would return the same text; only uncertified lines run the real
+    # while_loop beam. Text-identical by construction (parity-tested in
+    # tests/test_beam_spec.py). Default False — a MEASURED NULL RESULT:
+    # with the reference's LM fusion on, every hypothesis pays
+    # ~|LM_FUSION_ALPHA * LM entropy| per token (~1.4 nats on the
+    # flagship), so the sound "competitor suffix costs >= 0" bound exceeds
+    # the greedy path's real accumulated score by ~|avg logp| * suffix_len
+    # and the certificate never fires (0/24 clean lines; see the
+    # beam_spec_certificate docstring). The machinery is kept because it
+    # is exact, tested, and becomes profitable the moment fusion is
+    # disabled or a low-entropy LM head lands.
+    SPEC_BEAM: bool = False
     # Step-window size for incremental character streaming: the AR
     # streaming decoders run as resumable W-step windows (decode state and
     # KV cache stay on device between dispatches) and each window's chunks

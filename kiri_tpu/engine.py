@@ -420,6 +420,18 @@ class RecognizerEngine:
         est_np = np.asarray(est)
         tl_np = np.where(est_np > 0, est_np, 0).astype(np.int32)
         tl = jnp.asarray(tl_np)
+        if (k > 1 and self.cfg.SPEC_BEAM and ctc is not None
+                and ids is not None):
+            # Certificate-gated speculative beam: text-identical to the
+            # step-loop beam on every line (beam_spec_certificate), at
+            # spec-decode cost on the certified majority.
+            results = [("", 0.0)] * n
+            for sel, dec in self.beam_device_spec(memp, ctc, ids, est_np,
+                                                  conf):
+                texts, fconf, _, _ = self._decode_texts(dec, len(sel))
+                for r, i in enumerate(sel):
+                    results[int(i)] = (texts[r], float(fconf[r]))
+            return results
         out = self._launch_single_hyp(memp, ctc, ids, tl, conf, l_cap) \
             if k == 1 else D.beam_search(
             self.variables, memp, ctc, tl, conf, cfg=self.cfg, k_beam=k,
@@ -553,6 +565,70 @@ class RecognizerEngine:
                 unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
                 dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
             launched.append((sel, dec))
+        return launched
+
+    def beam_device_spec(self, memp, ctc, ids, est_np: np.ndarray, conf,
+                         chunk: Optional[int] = None
+                         ) -> List[Tuple[np.ndarray, D.DecodeOut]]:
+        """Certificate-gated speculative beam over a device-resident batch.
+
+        Runs the CTC-drafted single-hypothesis decode (2-3 parallel passes)
+        plus one teacher-forced certificate pass proving, per line, that
+        ``beam_search`` would return the identical text
+        (ops/decode.beam_spec_certificate — score upper bounds on every
+        possible beam branch). Only uncertified lines pay for the real
+        step-loop beam (beam_device_bucketed). Output text is
+        beam-identical on every line; confidences on certified lines can
+        differ from the step loop in the last float ulps (same caveat as
+        the shipping spec accurate mode).
+
+        Same contract as beam_device_bucketed: returns
+        [(row_indices, DecodeOut)] covering all rows exactly once, all
+        dispatches enqueued before returning.
+        """
+        n = memp.shape[0]
+        if ids is None or ctc is None:
+            return self.beam_device_bucketed(memp, ctc, est_np, conf,
+                                             chunk=chunk)
+        tl_np = np.where(est_np[:n] > 0, est_np[:n], 0).astype(np.int32)
+        tl = jnp.asarray(tl_np)
+        l_cap = self._step_cap(est_np, n, memp.shape[1])
+        spec = D.spec_decode(
+            self.variables, memp, ids, tl, conf, cfg=self.cfg, l_cap=l_cap,
+            eos_id=self.tok.dec_eos,
+            unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+            dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos,
+            raw_select=False, max_rounds=self.cfg.SPEC_MAX_ROUNDS,
+            ctc_logits=None)
+        cert = D.beam_spec_certificate(
+            self.variables, memp, ctc, tl, spec.tokens, spec.lengths,
+            cfg=self.cfg, k_beam=self.cfg.BEAM, l_cap=l_cap,
+            eos_id=self.tok.dec_eos,
+            unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
+            dec_offset=self.tok.dec_offset)
+        cert_np, conv = jax.device_get(
+            (cert, spec.converged if spec.converged is not None
+             else jnp.ones((n,), bool)))
+        ok = cert_np[:n] & conv[:n]
+        launched: List[Tuple[np.ndarray, D.DecodeOut]] = []
+        good = np.nonzero(ok)[0].astype(np.int32)
+        if len(good):
+            if len(good) == n:
+                spec_good = spec
+            else:
+                gd = jnp.asarray(good)
+                spec_good = D.DecodeOut(*[
+                    jnp.take(f, gd, axis=0) if f is not None else None
+                    for f in spec])
+            launched.append((good, spec_good))
+        bad = np.nonzero(~ok)[0].astype(np.int32)
+        if len(bad):
+            memp_b = jnp.take(memp, jnp.asarray(bad), axis=0)
+            ctc_b = jnp.take(ctc, jnp.asarray(bad), axis=0)
+            conf_b = jnp.take(conf, jnp.asarray(bad), axis=0)
+            for sel, dec in self.beam_device_bucketed(
+                    memp_b, ctc_b, est_np[:n][bad], conf_b, chunk=chunk):
+                launched.append((bad[sel], dec))
         return launched
 
     # ------------------------------------------------------------- streaming

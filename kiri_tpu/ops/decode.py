@@ -775,6 +775,160 @@ def spec_decode(variables: Dict[str, Any], mem_proj: jnp.ndarray,
 
 
 # ==========================================================================
+# Certificate-gated speculative beam (CTC-drafted, provably beam-identical)
+# ==========================================================================
+@partial(jax.jit, static_argnames=("cfg", "k_beam", "l_cap", "eos_id",
+                                   "unk_dec_id", "dec_offset"))
+def beam_spec_certificate(variables: Dict[str, Any], mem_proj: jnp.ndarray,
+                          ctc_logits: Optional[jnp.ndarray],
+                          target_len: jnp.ndarray, tokens: jnp.ndarray,
+                          lengths: jnp.ndarray, *, cfg, k_beam: int,
+                          l_cap: int, eos_id: int = 2, unk_dec_id: int = 3,
+                          dec_offset: int = 3) -> jnp.ndarray:
+    """Certify, per line, that ``beam_search(k_beam)`` would return exactly
+    the single-hypothesis (K=1) transcript ``tokens``.
+
+    Speculative beam = ``spec_decode`` (CTC-drafted greedy, ~2 parallel
+    passes) + this ONE extra teacher-forced pass + real ``beam_search`` only
+    on the lines where the certificate fails. The reference has no analogue
+    (its beam always walks every step, kiri_ocr/model.py:390-600); on TPU
+    the step loop is latency-bound, so replacing it with parallel passes on
+    certified lines is the big beam-throughput lever.
+
+    Soundness argument (all quantities from one ``decoder_forward_heads``
+    pass over ``tokens`` = the greedy path g, with the same fused+penalized
+    log-probs ``_beam_step`` uses):
+
+    * Every per-step score contribution in ``_beam_step`` is <= 0
+      (log-softmax terms, LM fusion alpha*log-softmax, subtractive
+      penalties) provided ``EOS_LOGP_BOOST == 0`` and
+      ``EOS_LOGP_BIAS >= 0`` — the certificate is statically disabled
+      otherwise (callers fall back to real beam).
+    * Any beam hypothesis h != g first diverges from g at some step t' with
+      a runner-up token v (one of the K-1 non-argmax ``top_k`` slots —
+      ``_beam_step`` never expands beyond top-K per parent). Its cumulative
+      score at ANY later step is <= D(t', v) = S(t') + logp_{t'}[v], where
+      S is g's prefix score sum; descendants of a branch inherit the bound.
+    * Pruning (condition A): ``_beam_step`` ranks candidates by
+      score / norm_penalty(len - 1).  Unfinished candidates at step t all
+      share g's length, finished ones froze earlier with a smaller length;
+      for negative scores the normed value is maximized by the LARGEST
+      norm divisor, so every competitor's pruning-normed score is
+      <= max(D) / norm_penalty(max_steps). If that bound stays below
+      min_t S(t+1)/norm_penalty(t+1) (g's own normed trajectory), g is the
+      top-1 beam at every step: it is never pruned, finishes exactly as
+      the K=1 decode did, and every surviving competitor's raw score stays
+      below max(D).
+    * Final selection (condition B): beam returns argmax over beams of
+      score / L^BEAM_LENP + CTC_FUSION_ALPHA * ctc_alignment. Competitor
+      dec term <= max(D) / max_steps^BEAM_LENP (score < 0, L <= max_steps);
+      competitor alignment term <= 0 (``ctc_alignment_scores`` is a
+      length-normalized log-likelihood). g's combined score is computed
+      exactly. If g's value exceeds the competitor bound, beam's answer is
+      g's text.
+    * Self-consistency: the pass re-derives each g token as the strict
+      argmax of the fused+penalized logp with a tie margin; rows where
+      re-derivation differs (or that never converged) fail the
+      certificate. Margins (EPS below) absorb the last-ulp differences
+      between this full-sequence pass and the KV-cached step path (the
+      same bf16-accumulation caveat the shipping ``spec_decode`` carries,
+      proven on the parity corpus: tests/test_beam_spec.py runs both
+      machines over clean, degraded, and garbage inputs and asserts
+      text identity).
+
+    MEASURED NULL RESULT (round 5, committed flagship, CPU+TPU identical):
+    the certificate fires on 0/24 clean rendered lines. Root cause is
+    structural, not a bug: with LM fusion on (the reference default,
+    USE_LM_FUSION_EVAL + LM_FUSION_ALPHA=0.35), every chosen token pays
+    ~alpha * H(LM) ~ 1.4 nats, so g's real score decays ~1.4/token while
+    the sound competitor bound assumes a zero-cost suffix — the gap grows
+    by |avg logp| * suffix_len (~15 nats on a 15-char line) and dwarfs the
+    ~10-nat divergence margins. The final-selection length-norm slack
+    (a competitor may grow to max_steps tokens, shrinking its normalized
+    score magnitude) compounds it. Any sound certificate under these
+    semantics must bound unknown-prefix suffix costs below ~-1 nat/token,
+    which no static argument can. Kept (default-off, CFG.SPEC_BEAM)
+    because the proof and machinery are exact and become profitable
+    whenever fusion is off or a low-entropy LM head ships.
+
+    Returns [N] bool — True where beam_search provably returns ``tokens``.
+    """
+    n, l_buf = tokens.shape
+    K = k_beam
+    if (K < 2 or cfg.EOS_LOGP_BOOST != 0.0 or cfg.EOS_LOGP_BIAS < 0.0
+            or cfg.BEAM_LENP < 0.0):
+        return jnp.zeros((n,), bool)
+    # Margins absorbing cross-path (full-seq vs KV-step) accumulation
+    # drift: normed-score space and per-token argmax space respectively.
+    EPS_NORM = 0.1
+    EPS_TOK = 0.05
+
+    max_steps = jnp.minimum(
+        max_decode_steps(cfg, target_len, mem_proj.shape[1]), l_cap)
+    dec_logits, lm_logits = R.decoder_forward_heads(
+        variables, mem_proj, tokens, cfg)
+    logp = _fused_logp(dec_logits, lm_logits, cfg)
+    logp = apply_penalties_seq(logp, tokens, cfg, target_len, eos_id,
+                               unk_dec_id)
+    topv, topi = jax.lax.top_k(logp, K)                   # [N, l_buf, K]
+
+    pos = jnp.arange(l_buf)[None, :]
+    n_steps = jnp.maximum(lengths - 1, 0)                 # executed steps
+    step_mask = pos < n_steps[:, None]
+    nxt = jnp.concatenate([tokens[:, 1:], jnp.zeros((n, 1), jnp.int32)],
+                          axis=1)
+    chosen_lp = jnp.take_along_axis(logp, nxt[..., None], axis=-1)[..., 0]
+
+    # g must be the strict per-position argmax of THIS pass's logp.
+    path_ok = jnp.all(
+        ~step_mask | ((topi[..., 0] == nxt)
+                      & (topv[..., 0] - topv[..., 1] > EPS_TOK)), axis=1)
+
+    step_lp = jnp.where(step_mask, chosen_lp, 0.0)
+    S = jnp.cumsum(step_lp, axis=1)                       # S after step t
+    S_final = jnp.take_along_axis(
+        S, jnp.maximum(n_steps - 1, 0)[:, None], axis=1)[:, 0]
+    S_final = jnp.where(n_steps > 0, S_final, 0.0)
+    S_prev = S - step_lp                                  # S before step t
+
+    # Branch roots: the K-1 runner-up expansions of g's beam at each step.
+    D = S_prev[..., None] + topv[..., 1:]                 # [N, l_buf, K-1]
+    D = jnp.where(step_mask[..., None], D, NEG_INF)
+    max_D = jnp.max(D.reshape(n, -1), axis=1)
+
+    def norm_penalty(L):
+        Lf = jnp.maximum(1, L).astype(jnp.float32)
+        return ((5.0 + Lf) ** cfg.BEAM_LENP) / ((5.0 + 1.0) ** cfg.BEAM_LENP)
+
+    # Condition A: g's pruning-normed trajectory stays above every
+    # competitor bound (norm divisors per the argument above).
+    g_norm = jnp.where(step_mask, S / norm_penalty(pos + 1), jnp.inf)
+    G_min = jnp.min(g_norm, axis=1)
+    comp_norm_ub = max_D / norm_penalty(max_steps)
+    cond_a = comp_norm_ub < G_min - EPS_NORM
+
+    # Condition B: final CTC-fused selection.
+    Lg = jnp.maximum(1, n_steps).astype(jnp.float32)
+    dec_score_g = S_final / (Lg ** cfg.BEAM_LENP)
+    if ctc_logits is not None and cfg.CTC_FUSION_ALPHA > 0:
+        log_probs = jax.nn.log_softmax(ctc_logits, axis=-1)
+        labels_g, lens_g = _labels_from_tokens(tokens, lengths, eos_id,
+                                               dec_offset)
+        align_g = ctc_alignment_scores(log_probs, labels_g, lens_g)
+        comb_g = dec_score_g + cfg.CTC_FUSION_ALPHA * align_g
+    else:
+        comb_g = dec_score_g
+    comp_comb_ub = max_D / (jnp.maximum(1, max_steps).astype(jnp.float32)
+                            ** cfg.BEAM_LENP)
+    cond_b = comp_comb_ub < comb_g - EPS_NORM
+
+    # A certified row also needs a real decode (>= 1 step) and max_D < 0
+    # (the "largest length maximizes a negative normed score" steps above
+    # assumed it; max_D >= 0 cannot be certified).
+    return path_ok & cond_a & cond_b & (n_steps > 0) & (max_D < 0.0)
+
+
+# ==========================================================================
 # Greedy streaming decode (argmax-on-raw-logits reference quirk preserved)
 # ==========================================================================
 def _greedy_step(variables, cross_kvs, fused_head, fused_qkv, target_len,
