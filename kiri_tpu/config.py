@@ -58,6 +58,12 @@ class CFG:
     CTC_FUSION_ALPHA: float = 0.5
     BEAM: int = 3
     BEAM_LENP: float = 0.8
+    # Device-beam kernel knobs (text-identical variants, see
+    # ops/decode.beam_search opt_unroll and engine.beam_device_bucketed):
+    # steps per while_loop iteration, and the row-chunk cap for the
+    # step-bucketed device dispatch.
+    BEAM_UNROLL: int = 1
+    BEAM_CHUNK: int = 64
 
     EOS_LOGP_BIAS: float = 0.0
     EOS_LOGP_BOOST: float = 0.0

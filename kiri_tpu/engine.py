@@ -543,7 +543,8 @@ class RecognizerEngine:
         # the short program and the tail chunk runs the long one.
         order = np.argsort(ms, kind="stable").astype(np.int32)
         if chunk is None:
-            chunk = max(1, min(64, D.pick_batch_bucket(self.cfg, n)))
+            chunk = max(1, min(getattr(self.cfg, "BEAM_CHUNK", 64),
+                               D.pick_batch_bucket(self.cfg, n)))
         launched = []
         for s in range(0, n, chunk):
             sel = order[s: s + chunk]
@@ -563,7 +564,8 @@ class RecognizerEngine:
                 cfg=self.cfg, k_beam=self.cfg.BEAM, l_cap=l_cap,
                 eos_id=self.tok.dec_eos,
                 unk_dec_id=self.tok.unk_id + self.tok.dec_offset,
-                dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos)
+                dec_offset=self.tok.dec_offset, bos_id=self.tok.dec_bos,
+                opt_unroll=getattr(self.cfg, "BEAM_UNROLL", 1))
             launched.append((sel, dec))
         return launched
 
