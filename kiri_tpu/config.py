@@ -58,12 +58,17 @@ class CFG:
     CTC_FUSION_ALPHA: float = 0.5
     BEAM: int = 3
     BEAM_LENP: float = 0.8
-    # Device-beam kernel knobs (text-identical variants, see
-    # ops/decode.beam_search opt_unroll and engine.beam_device_bucketed):
-    # steps per while_loop iteration, and the row-chunk cap for the
-    # step-bucketed device dispatch.
+    # Device-beam dispatch knobs (text-identical variants, measured on the
+    # v5e with scripts/profile_beam_dispatch.py over 128 rendered bilingual
+    # lines: chunk 64/def-buckets 503 l/s -> chunk 16/def 777 -> chunk 16/
+    # fine buckets 891, identical texts; chunk 128 REGRESSES to 320 —
+    # small budget-sorted chunks + tight step caps beat wide dispatches
+    # because each chunk's while_loop runs only its own rows' budget):
+    # steps per while_loop iteration, row-chunk cap, and the step-bucket
+    # grid for the per-chunk l_cap.
     BEAM_UNROLL: int = 1
-    BEAM_CHUNK: int = 64
+    BEAM_CHUNK: int = 16
+    BEAM_STEP_BUCKETS: tuple = (16, 24, 32, 48, 64, 96, 128, 256, 512)
 
     EOS_LOGP_BIAS: float = 0.0
     EOS_LOGP_BOOST: float = 0.0

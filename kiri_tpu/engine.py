@@ -546,9 +546,11 @@ class RecognizerEngine:
             chunk = max(1, min(getattr(self.cfg, "BEAM_CHUNK", 64),
                                D.pick_batch_bucket(self.cfg, n)))
         launched = []
+        beam_buckets = getattr(self.cfg, "BEAM_STEP_BUCKETS", None)
         for s in range(0, n, chunk):
             sel = order[s: s + chunk]
-            l_cap = D.pick_l_cap(self.cfg, int(ms[sel].max(initial=1)))
+            l_cap = D.pick_l_cap(self.cfg, int(ms[sel].max(initial=1)),
+                                 buckets=beam_buckets)
             b2 = D.pick_batch_bucket(self.cfg, len(sel))
             # Pad with the chunk's own smallest-budget row (sel is
             # budget-sorted, so sel[0]): padding with absolute row 0 would

@@ -1264,12 +1264,18 @@ def greedy_stream_window(variables: Dict[str, Any], state: GreedyStreamState,
     return new_state, hist, all_done
 
 
-def pick_l_cap(cfg, max_steps_host: int) -> int:
-    """Smallest configured step bucket covering max_steps (static for jit)."""
-    for b in cfg.STEP_BUCKETS:
+def pick_l_cap(cfg, max_steps_host: int, buckets=None) -> int:
+    """Smallest configured step bucket covering max_steps (static for jit).
+
+    ``buckets`` overrides cfg.STEP_BUCKETS (the beam device dispatch uses
+    the finer CFG.BEAM_STEP_BUCKETS: its per-chunk loops are the dominant
+    cost there, and chunks are small enough that tighter caps pay for the
+    extra compiled variants)."""
+    bs = buckets if buckets is not None else cfg.STEP_BUCKETS
+    for b in bs:
         if b >= max_steps_host:
             return int(b)
-    return int(cfg.STEP_BUCKETS[-1])
+    return int(bs[-1])
 
 
 def pick_batch_bucket(cfg, n: int) -> int:
